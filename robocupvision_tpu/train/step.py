@@ -1,0 +1,158 @@
+"""Jitted train / eval steps.
+
+One compiled step covers everything the reference does per batch
+(train.py:43-94): on-device augmentation, label class-ablation remap, forward,
+loss (+ L1 regularization), backward, pruning-mask gradient zeroing, optimizer
+update, BN running-stat merge, and metric accumulation — no host round-trips
+inside the epoch.
+
+State is a flat pytree-of-dicts (``TrainState``), shardable with
+``jax.sharding`` (params replicated, batch data-parallel, optionally spatially
+partitioned — see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from robocupvision_tpu.models import layers as L
+from robocupvision_tpu.models.zoo import Model
+from robocupvision_tpu.ops import color, labels, losses, metrics
+
+Params = Dict[str, jax.Array]
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Params        # trainable + BN running stats (flat, ordered names)
+    opt_state: object
+
+
+jax.tree_util.register_dataclass(TrainState, data_fields=["params", "opt_state"],
+                                 meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class StepCfg:
+    num_classes: int
+    loss: str = "ce2d"                  # ce2d | dice | ce (classification)
+    class_weights: Tuple[float, ...] = ()
+    l1_decay: float = 0.0               # train.py:52-54 manual L1 term
+    mask_flags: Tuple[bool, bool, bool, bool] = (False, False, False, False)
+    augment: bool = True                # flip + YUV jitter on device
+    jitter: bool = True
+    out_size: float = 1.0               # 1/(H*W) pixel-acc normalizer
+
+
+def _loss(cfg: StepCfg, logits, targets, mask):
+    w = jnp.asarray(cfg.class_weights, jnp.float32) if cfg.class_weights else None
+    pixel_mask = None
+    if mask is not None:
+        if logits.ndim == 4:
+            pixel_mask = mask[:, None, None] * jnp.ones(targets.shape, jnp.float32)
+        else:
+            pixel_mask = mask
+    if cfg.loss == "dice":
+        return losses.dice_loss(logits, targets, w if w is not None
+                                else jnp.ones(cfg.num_classes), pixel_mask)
+    return losses.cross_entropy_2d(logits, targets, w, pixel_mask)
+
+
+def make_train_step(model: Model, tx: optax.GradientTransformation, cfg: StepCfg,
+                    multipliers: Optional[Dict[str, float]] = None,
+                    donate: bool = True):
+    """Returns jitted step(state, imgs, targets, sample_mask, rng, lr,
+    prune_masks) -> (state, metrics dict).
+
+    ``prune_masks`` is a dict of 0/1 arrays (1 = pruned) for the dim>1 weights,
+    or None for no masking — passed as traced args so the same executable
+    serves masked and unmasked epochs when shapes match.
+    """
+    nb, nr, ng, nl = cfg.mask_flags
+
+    def loss_fn(trainable: Params, state: Params, imgs, targets, mask, rng):
+        p = {**trainable, **state}
+        logits, mut = model.apply(p, imgs, train=True, rng=rng)
+        if cfg.loss == "ce":
+            logits = logits.reshape(logits.shape[0], -1)  # squeeze 1x1 spatial
+        task_loss = _loss(cfg, logits, targets, mask)
+        reg = jnp.asarray(0.0, jnp.float32)
+        if cfg.l1_decay:
+            reg = cfg.l1_decay * losses.l1_regularization(trainable)
+        total = task_loss + reg
+        return total, (mut, logits, reg)
+
+    def step(state: TrainState, imgs, targets, sample_mask, rng, lr,
+             prune_masks: Optional[Params]):
+        aug_rng, drop_rng = jax.random.split(rng)
+        if cfg.augment and cfg.loss != "ce":
+            imgs, targets = color.augment_batch(aug_rng, imgs, targets, cfg.jitter)
+        elif cfg.augment:
+            imgs, _ = color.augment_batch(
+                aug_rng, imgs, jnp.zeros(imgs.shape[:3], jnp.int32), cfg.jitter)
+        targets = labels.mask_label(targets, nb, nr, ng, nl)
+
+        trainable, bn_state = L.split_params(state.params)
+        (total, (mut, logits, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, bn_state, imgs, targets,
+                                   sample_mask, drop_rng)
+        if prune_masks is not None:
+            grads = {k: jnp.where(prune_masks[k] > 0, 0.0, g) if k in prune_masks
+                     else g for k, g in grads.items()}
+
+        direction, opt_state = tx.update(grads, state.opt_state, trainable)
+        from robocupvision_tpu.train.optim import apply_updates
+
+        trainable = apply_updates(trainable, direction, lr, multipliers)
+        new_params = {**trainable, **bn_state, **mut}
+
+        pred = jnp.argmax(logits, axis=-1)
+        m = sample_mask.astype(jnp.float32)
+        if cfg.loss == "ce":
+            correct = jnp.sum((pred == targets).astype(jnp.float32) * m)
+        else:
+            correct = jnp.sum((pred == targets).astype(jnp.float32)
+                              * m[:, None, None])
+        out = {
+            "loss": total, "reg": reg,
+            "correct": correct,
+            "img_cnt": jnp.sum(m),
+        }
+        return TrainState(new_params, opt_state), out
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: Model, cfg: StepCfg):
+    """Jitted eval: forward + loss + on-device confusion/IoU accumulation."""
+    nb, nr, ng, nl = cfg.mask_flags
+
+    def step(params: Params, imgs, targets, sample_mask):
+        targets = labels.mask_label(targets, nb, nr, ng, nl)
+        logits, _ = model.apply(params, imgs, train=False)
+        if cfg.loss == "ce":
+            logits = logits.reshape(logits.shape[0], -1)
+        loss = _loss(cfg, logits, targets, sample_mask)
+        pred = jnp.argmax(logits, axis=-1)
+        if cfg.loss == "ce":
+            conf, correct = metrics.class_batch_stats(pred, targets,
+                                                      cfg.num_classes, sample_mask)
+            return {"loss": loss, "conf": conf, "correct": correct,
+                    "img_cnt": jnp.sum(sample_mask)}
+        acc = metrics.seg_batch_stats(pred, targets, cfg.num_classes, sample_mask)
+        return {"loss": loss, "acc": acc, "pred": pred}
+
+    return jax.jit(step)
+
+
+def init_state(model: Model, tx: optax.GradientTransformation,
+               rng: jax.Array) -> TrainState:
+    params = model.init(rng)
+    trainable, _ = L.split_params(params)
+    return TrainState(params, tx.init(trainable))
