@@ -1,0 +1,231 @@
+"""Main segmentation training CLI — the reference's ``python train.py``.
+
+Preserves the full flag surface and control flow of reference train.py:205-389:
+decay sweeps for finetune, transfer sweeps (10x LR on the first N encoder
+levels), Adam + per-epoch CosineAnnealingLR, L1 regularization, best-model
+selection on (meanClassAcc + meanIoU)/2, checkpoint name mangling, and the
+post-finetune prune(1%-of-max) + 25-epoch masked-gradient phase.
+
+TPU-native differences (behavior-preserving):
+- dataset is decoded once and cached in HBM; augmentation runs on device
+- metrics are computed on device (no python confusion loops)
+- checkpoints are .npz under the reference's exact file names; reference
+  torch checkpoints also load (train/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ROBO-UNet segmentation training")
+    p.add_argument("--finetune", help="Finetuning", action="store_true", default=False)
+    p.add_argument("--v2", help="Use v2 architecture", action="store_true", default=False)
+    p.add_argument("--noScale", help="Use VGA resolution", action="store_true", default=False)
+    p.add_argument("--UNet", help="Use Vanilla U-Net", action="store_true", default=False)
+    p.add_argument("--useDice", help="Use Dice Loss", action="store_true", default=False)
+    p.add_argument("--noBall", help="Treat Ball as Background", action="store_true")
+    p.add_argument("--noGoal", help="Treat Goal as Background", action="store_true")
+    p.add_argument("--noRobot", help="Treat Robot as Background", action="store_true")
+    p.add_argument("--noLine", help="Treat Lines as Background", action="store_true")
+    p.add_argument("--topCam", help="Use Top Camera images only", action="store_true")
+    p.add_argument("--bottomCam", help="Use Bottom Camera images only", action="store_true")
+    p.add_argument("--lr", help="Learning rate", type=float, default=1e-3)
+    p.add_argument("--decay", help="Weight decay", type=float, default=1e-5)
+    p.add_argument("--transfer", help="Layers to truly train", action="store_true")
+    # framework extensions (default values preserve reference behavior)
+    p.add_argument("--root", help="Dataset root", type=str,
+                   default=os.environ.get("ROBOCUP_DATA", "../../Data/RoboCup"))
+    p.add_argument("--epochs", help="Override epoch count", type=int, default=None)
+    p.add_argument("--batchSize", help="Override batch size", type=int, default=None)
+    p.add_argument("--spatial", help="Spatial mesh axis size", type=int, default=1)
+    return p
+
+
+def model_hyper(unet: bool, v2: bool):
+    """train.py:302-307 architecture hyperparameter table."""
+    num_planes = 8
+    levels = 3 if unet else (1 if v2 else 2)
+    depth = 4
+    belly_size = 0 if unet else (9 if v2 else 5)
+    class_size = 3 if v2 else 1
+    belly_planes = num_planes * 2 ** (depth - 1) if v2 else num_planes * 2 ** depth
+    return dict(planes=num_planes, levels=levels, depth=depth,
+                belly_size=belly_size, class_size=class_size,
+                belly_planes=belly_planes)
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+
+    import jax
+
+    from robocupvision_tpu.data.datasets import SSYUVDataset
+    from robocupvision_tpu.data.device_cache import DeviceCache
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import checkpoint, naming, optim
+    from robocupvision_tpu.train.loop import Trainer
+    from robocupvision_tpu.train.schedules import CosineAnnealingLR
+    from robocupvision_tpu.train.step import StepCfg
+    from robocupvision_tpu.ops import pruning as prune_ops
+
+    flags = naming.Flags(finetune=opt.finetune, v2=opt.v2, no_scale=opt.noScale,
+                         unet=opt.UNet, no_ball=opt.noBall, no_goal=opt.noGoal,
+                         no_robot=opt.noRobot, no_line=opt.noLine,
+                         top_cam=opt.topCam, bottom_cam=opt.bottomCam)
+
+    if flags.num_classes <= 1:
+        print("You need to have at least one non-background class!")
+        return -1
+    camera = flags.camera
+    if camera != "both" and not opt.finetune:
+        print("You can only select camera images for the finetune dataset. "
+              "Using both cameras by default")
+        camera = "both"
+
+    finetune = opt.finetune
+    learning_rate = opt.lr
+    dec = opt.decay if finetune and not opt.transfer else opt.decay / 10
+    transfers = [1, 2, 3, 4] if opt.transfer else [0]
+    decays = [10 * dec, 5 * dec, 2 * dec, dec] if (finetune and not opt.transfer) else [dec]
+
+    scale = 2 if opt.noScale else 4
+    lab_size = (480 // scale, 640 // scale)
+    out_size = 1.0 / (lab_size[0] * lab_size[1])
+    epochs = opt.epochs if opt.epochs is not None else \
+        (200 if finetune else (100 if opt.noScale else 100))
+    if not finetune and not opt.noScale:
+        epochs = opt.epochs if opt.epochs is not None else 100
+    batch_size = opt.batchSize if opt.batchSize is not None else \
+        (16 if finetune else (32 if opt.noScale else 64))
+
+    os.makedirs("output", exist_ok=True)
+    os.makedirs("checkpoints", exist_ok=True)
+
+    print(f"Loading dataset from {opt.root} at {lab_size} ...")
+    train_ds = SSYUVDataset(opt.root, lab_size, True, finetune, camera)
+    val_ds = SSYUVDataset(opt.root, lab_size, False, finetune, camera)
+    if len(train_ds) == 0 or len(val_ds) == 0:
+        print(f"No data found under {opt.root}")
+        return -1
+    train_cache = DeviceCache.from_numpy(*train_ds.load_all())
+    val_cache = DeviceCache.from_numpy(*val_ds.load_all())
+    print(f"train={train_cache.n} val={val_cache.n} images cached on device")
+
+    num_classes = flags.num_classes
+    hyper = model_hyper(opt.UNet, opt.v2)
+
+    # class-weight table (train.py:309-313)
+    weights = [1, 2, 6, 3, 2] if opt.useDice else [1, 10, 30, 10, 2]
+    if finetune:
+        weights = [1, 6, 2, 10, 4]
+    keep = [True, not opt.noBall, not opt.noRobot, not opt.noGoal, not opt.noLine]
+    weights = tuple(w for w, k in zip(weights, keep) if k)
+
+    mask_flags = (opt.noBall, opt.noRobot, opt.noGoal, opt.noLine)
+
+    best_loss_final = 0.0
+    for transfer in transfers:
+        if len(transfers) > 1:
+            print("#" * 54)
+            print(f"############# Finetune with transfer: {transfer} #############")
+            print("#" * 54)
+        for decay in decays:
+            if len(decays) > 1:
+                print("#" * 54)
+                print(f"############ Finetune with decay: {decay:.1E} ############")
+                print("#" * 54)
+
+            model = zoo.make("robo_unet", no_scale=opt.noScale,
+                             num_classes=num_classes, pool=opt.UNet, v2=opt.v2,
+                             **hyper)
+            comp = zoo.robo_unet_get_computations(model.cfg)
+            print([round(c) for c in comp])
+            print(round(sum(comp)))
+
+            cfg = StepCfg(num_classes=num_classes,
+                          loss="dice" if opt.useDice else "ce2d",
+                          class_weights=weights, l1_decay=decay,
+                          mask_flags=mask_flags, out_size=out_size)
+            tx = optim.adam()
+            mult = optim.transfer_multipliers(model.param_order, transfer)
+            tr = Trainer(model, tx, cfg, train_cache, val_cache, batch_size,
+                         multipliers=mult)
+            tr.init(jax.random.PRNGKey(12345678))
+
+            if finetune:
+                load_path = naming.train_load_name(flags)
+                print(f"Loading {load_path}")
+                tr.set_params(checkpoint.load_any(load_path, model.registry))
+
+            eta_min = learning_rate / 25 if opt.transfer else learning_rate / 10
+            sched = CosineAnnealingLR([learning_rate], epochs, eta_min)
+
+            best_loss = 0.0
+            for epoch in range(epochs):
+                lr = sched.get_lr()[0]
+                res = tr.train_epoch(lr)
+                prune_frac = tr.pruned_fraction()
+                print("[Epoch Train %d/%d lr: %.4f][Losses: reg %f, pruned %f, "
+                      "total %f][Pixel Acc: %f]"
+                      % (epoch + 1, epochs, lr / learning_rate, res.reg,
+                         prune_frac, res.loss, res.pixel_acc))
+                sched.step()
+                val = tr.valid_epoch()
+                print("[Epoch Val %d/%d lr: %.4f][Losses: total %f]"
+                      "[Pixel Acc: %f, Mean Class Acc: %f, Mean IoU: %f]"
+                      % (epoch + 1, epochs, lr / learning_rate, val["loss"],
+                         val["pixel_acc"], val["mean_class_acc"], val["mean_iou"]))
+                if best_loss < val["score"]:
+                    print("Saving best model")
+                    print(np.array_str(val["conf"], precision=2, suppress_small=True))
+                    best_loss = val["score"]
+                    path = naming.train_ckpt_name(flags, transfer)
+                    checkpoint.save(path, model.registry, tr.params_numpy())
+            best_loss_final = best_loss
+
+            # post-finetune pruning phase (train.py:375-388)
+            if finetune and transfer == 0:
+                best_path = naming.train_ckpt_name(flags, 0)
+                params = checkpoint.load_any(best_path, model.registry)
+                params, masks = prune_ops.prune_threshold(params, model.param_order)
+
+                cfg_p = StepCfg(num_classes=num_classes,
+                                loss="dice" if opt.useDice else "ce2d",
+                                class_weights=weights, l1_decay=0.0,
+                                mask_flags=mask_flags, out_size=out_size)
+                tr = Trainer(model, optim.adam(), cfg_p, train_cache, val_cache,
+                             batch_size)
+                tr.set_params(params)
+                print("Finetuning")
+                best_loss = 0.0
+                for epoch in range(25):
+                    res = tr.train_epoch(learning_rate / 20, prune_masks=masks)
+                    prune_frac = tr.pruned_fraction()
+                    print("[Epoch Train %d/25][pruned %f, total %f][Pixel Acc: %f]"
+                          % (epoch + 1, prune_frac, res.loss, res.pixel_acc))
+                    val = tr.valid_epoch()
+                    print("[Epoch Val %d/25][total %f][Pixel Acc: %f, "
+                          "Mean Class Acc: %f, Mean IoU: %f]"
+                          % (epoch + 1, val["loss"], val["pixel_acc"],
+                             val["mean_class_acc"], val["mean_iou"]))
+                    if best_loss < val["score"]:
+                        print("Saving best model")
+                        best_loss = val["score"]
+                        prune_pct = round(prune_frac * 100)
+                        mflops = round(sum(zoo.robo_unet_get_computations(
+                            model.cfg, tr.params_numpy(), pruned=True)) / 1e6)
+                        path = naming.train_ckpt_name(flags, 0, pruned=True,
+                                                      prune_pct=prune_pct,
+                                                      mflops=mflops)
+                        checkpoint.save(path, model.registry, tr.params_numpy())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""Checkpoint I/O.
+
+Native format: compressed .npz of the flat param dict (our TPU layouts) plus
+the registry order. Filenames preserve the reference's mangled names
+(train/naming.py) including their .weights/.pth suffixes.
+
+``load_any`` also accepts the reference's torch-pickle checkpoints (the files
+under /root/reference/pth and the published checkpoints.zip) by falling back
+to torch.load + layout conversion — a reference user's existing checkpoints
+load directly into this framework.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Dict
+
+import numpy as np
+
+from robocupvision_tpu.models.layers import Registry
+
+MAGIC_KEY = "__robocupvision_tpu__"
+
+
+def save(path: str, reg: Registry, params: Dict[str, "np.ndarray"]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {name: np.asarray(params[name]) for name in reg.specs}
+    arrays[MAGIC_KEY] = np.array(1)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
+
+
+def _load_npz(path: str, reg: Registry) -> Dict[str, np.ndarray]:
+    with np.load(path, allow_pickle=False) as z:
+        out = {}
+        for name, spec in reg.specs.items():
+            if name not in z:
+                raise KeyError(f"{path}: missing {name}")
+            a = z[name]
+            if tuple(a.shape) != tuple(spec.shape):
+                raise ValueError(f"{path}: {name} shape {a.shape} != {spec.shape}")
+            out[name] = a.astype(np.float32)
+        return out
+
+
+def load_any(path: str, reg: Registry) -> Dict[str, np.ndarray]:
+    """Load a checkpoint: our .npz format or a torch pickle from the reference."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:2] == b"PK":  # zip: either our npz or a torch>=1.6 zipfile pickle
+        try:
+            return _load_npz(path, reg)
+        except Exception:
+            pass
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    from robocupvision_tpu.export.torch_io import from_torch_state_dict
+
+    return from_torch_state_dict(reg, state)
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(path)

@@ -1,0 +1,135 @@
+"""Epoch-level training harness.
+
+Wraps the jitted steps with the loop mechanics every reference entry point
+shares (train.py:29-203): shuffled epochs, train metrics, eval with
+confusion/IoU, best-checkpoint selection, and pruned-fraction reporting.
+Script-specific control flow (decay sweeps, plateau rollback, pruning
+iterations) lives in the CLI layer, like the reference's scripts — but the
+per-batch path is a single compiled function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robocupvision_tpu.data.device_cache import DeviceCache, epoch_batches
+from robocupvision_tpu.models.zoo import Model
+from robocupvision_tpu.ops import pruning as prune_ops
+from robocupvision_tpu.ops.metrics import SegAccum, seg_finalize
+from robocupvision_tpu.train import step as tstep
+
+
+@dataclasses.dataclass
+class EpochResult:
+    loss: float
+    reg: float
+    pixel_acc: float
+    extra: Dict
+
+
+class Trainer:
+    def __init__(self, model: Model, tx, cfg: tstep.StepCfg,
+                 train_cache: Optional[DeviceCache], val_cache: Optional[DeviceCache],
+                 batch_size: int, multipliers: Optional[Dict[str, float]] = None,
+                 seed: int = 12345678):
+        self.model = model
+        self.cfg = cfg
+        self.tx = tx
+        self.train_cache = train_cache
+        self.val_cache = val_cache
+        self.batch_size = batch_size
+        self.train_step = tstep.make_train_step(model, tx, cfg, multipliers,
+                                                donate=False)
+        self.eval_step = tstep.make_eval_step(model, cfg)
+        self.rng = jax.random.PRNGKey(seed)
+        self.state: Optional[tstep.TrainState] = None
+
+    # -- state management ---------------------------------------------------
+
+    def init(self, rng: Optional[jax.Array] = None) -> None:
+        self.state = tstep.init_state(self.model, self.tx,
+                                      rng if rng is not None else self.rng)
+
+    def set_params(self, params: Dict[str, np.ndarray],
+                   reset_opt: bool = True) -> None:
+        dev = {k: jnp.asarray(v) for k, v in params.items()}
+        if self.state is None or reset_opt:
+            from robocupvision_tpu.models.layers import split_params
+
+            trainable, _ = split_params(dev)
+            self.state = tstep.TrainState(dev, self.tx.init(trainable))
+        else:
+            self.state = tstep.TrainState(dev, self.state.opt_state)
+
+    def params_numpy(self) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.state.params.items()}
+
+    def _next_rng(self) -> jax.Array:
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # -- epochs -------------------------------------------------------------
+
+    def train_epoch(self, lr: float,
+                    prune_masks: Optional[Dict[str, np.ndarray]] = None
+                    ) -> EpochResult:
+        assert self.state is not None and self.train_cache is not None
+        masks_dev = None
+        if prune_masks is not None:
+            masks_dev = {k: jnp.asarray(v, jnp.float32)
+                         for k, v in prune_masks.items()}
+        tot_loss = tot_reg = correct = imgs = 0.0
+        n_batches = 0
+        lr_arr = jnp.float32(lr)
+        for bi, (bimgs, btgt, bmask) in enumerate(
+                epoch_batches(self.train_cache, self.batch_size, self._next_rng())):
+            self.state, out = self.train_step(self.state, bimgs, btgt, bmask,
+                                              self._next_rng(), lr_arr, masks_dev)
+            tot_loss += float(out["loss"])
+            tot_reg += float(out["reg"])
+            correct += float(out["correct"])
+            imgs += float(out["img_cnt"])
+            n_batches += 1
+        return EpochResult(
+            loss=tot_loss / max(n_batches, 1), reg=tot_reg / max(n_batches, 1),
+            pixel_acc=correct * self.cfg.out_size * 100.0 / max(imgs, 1.0),
+            extra={})
+
+    def valid_epoch(self) -> Dict:
+        assert self.state is not None and self.val_cache is not None
+        acc = SegAccum.zero(self.cfg.num_classes)
+        tot_loss = 0.0
+        n_batches = 0
+        conf_cls = None
+        correct_cls = imgs_cls = 0.0
+        for bimgs, btgt, bmask in epoch_batches(self.val_cache, self.batch_size,
+                                                None):
+            out = self.eval_step(self.state.params, bimgs, btgt, bmask)
+            tot_loss += float(out["loss"])
+            n_batches += 1
+            if self.cfg.loss == "ce":
+                c = np.asarray(out["conf"])
+                conf_cls = c if conf_cls is None else conf_cls + c
+                correct_cls += float(out["correct"])
+                imgs_cls += float(out["img_cnt"])
+            else:
+                acc = acc + out["acc"]
+        if self.cfg.loss == "ce":
+            return {"loss": tot_loss / max(n_batches, 1), "conf": conf_cls,
+                    "acc": correct_cls * 100.0 / max(imgs_cls, 1.0)}
+        fin = seg_finalize(acc, self.cfg.out_size)
+        fin = {k: (np.asarray(v) if hasattr(v, "shape") else v)
+               for k, v in fin.items()}
+        fin["loss"] = tot_loss / max(n_batches, 1)
+        for k in ("pixel_acc", "mean_class_acc", "mean_iou", "score"):
+            fin[k] = float(fin[k])
+        return fin
+
+    def pruned_fraction(self) -> float:
+        return prune_ops.count_zero_weights(self.params_numpy(),
+                                            self.model.param_order)

@@ -39,6 +39,35 @@ if "skimage" not in sys.modules:
     sys.modules["skimage"] = _sk
     sys.modules["skimage.color"] = _skc
 
+if "progressbar" not in sys.modules:
+    _pb = types.ModuleType("progressbar")
+
+    class _Bar:
+        def __init__(self, *a, **k):
+            pass
+
+        def update(self, *a):
+            pass
+
+        def finish(self):
+            pass
+
+    _pb.ProgressBar = _Bar
+    sys.modules["progressbar"] = _pb
+
+if "visdom" not in sys.modules:
+    _vd = types.ModuleType("visdom")
+
+    class _Visdom:
+        def __init__(self, *a, **k):
+            pass
+
+        def line(self, *a, **k):
+            return None
+
+    _vd.Visdom = _Visdom
+    sys.modules["visdom"] = _vd
+
 if "torchvision" not in sys.modules:
     # Minimal stub: reference dataset.py imports these at module level but the
     # parity tests only use classes that don't touch them.

@@ -1,0 +1,79 @@
+"""End-to-end CLI tests for test.py / tester.py / detect.py equivalents."""
+
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synth_data import make_dataset_root  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    """Synthetic dataset + a quickly-trained checkpoint in a workdir."""
+    root = str(tmp_path_factory.mktemp("robocup"))
+    make_dataset_root(root, size=(48, 64))
+    work = str(tmp_path_factory.mktemp("work"))
+    cwd = os.getcwd()
+    os.chdir(work)
+    try:
+        from robocupvision_tpu.cli import train as cli_train
+
+        rc = cli_train.main(["--root", root, "--epochs", "2", "--batchSize", "8"])
+        assert rc == 0
+    finally:
+        os.chdir(cwd)
+    return {"root": root, "work": work}
+
+
+def test_test_cli(env, monkeypatch, capsys):
+    monkeypatch.chdir(env["work"])
+    from robocupvision_tpu.cli import test as cli_test
+
+    rc = cli_test.main(["--root", env["root"], "--batchSize", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Testing checkpoints/best.weights" in out
+    assert "Mean IoU" in out
+    assert "IoU: [" in out and "Dist: [" in out
+
+
+def test_tester_cli(env, monkeypatch, capsys):
+    """tester.py path: craft the legacy pth checkpoint, run inference+dump."""
+    monkeypatch.chdir(env["work"])
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import checkpoint
+
+    # --noScale => scale 1: the 48x64 synthetic frames divide cleanly through
+    # the 4-level stride pyramid (at scale 4 they would not — the reference
+    # has the same divisibility constraint).
+    m = zoo.make("pb_fcn", planes=32, num_classes=5, kernel_size=1,
+                 no_scale=True)
+    params = {k: np.asarray(v) for k, v in m.init(jax.random.PRNGKey(0)).items()}
+    checkpoint.save("pth/bestModelSegVGA.pth", m.registry, params)
+
+    from robocupvision_tpu.cli import tester as cli_tester
+
+    rc = cli_tester.main(["--root", env["root"], "--dump", "--noScale"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Mean IoU" in out
+    assert osp.exists("weights/VGA/weights2.dat")
+    assert osp.exists("weights/VGA/net.cfg")
+    assert osp.exists("output/0.png")
+
+
+def test_detect_cli(env, monkeypatch, capsys):
+    monkeypatch.chdir(env["work"])
+    from robocupvision_tpu.cli import detect as cli_detect
+
+    rc = cli_detect.main(["--root", env["root"]])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Detection" in out
+    assert osp.exists("output/0.png")

@@ -1,0 +1,100 @@
+"""Object-level metrics vs the reference implementation; optical flow checks."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from robocupvision_tpu.ops import objmetrics, optflow  # noqa: E402
+
+
+def _scene_masks(seed, num_classes=3, b=2, h=40, w=50):
+    """Random blobby masks as (C, B, H, W) for pred/target."""
+    rng = np.random.default_rng(seed)
+    pred = np.zeros((num_classes, b, h, w), np.int64)
+    tar = np.zeros((num_classes, b, h, w), np.int64)
+    for c in range(1, num_classes):
+        for bi in range(b):
+            for _ in range(rng.integers(0, 4)):
+                y, x = rng.integers(0, h - 8), rng.integers(0, w - 8)
+                pred[c, bi, y:y + 6, x:x + 6] = 1
+            for _ in range(rng.integers(0, 4)):
+                y, x = rng.integers(0, h - 8), rng.integers(0, w - 8)
+                tar[c, bi, y:y + 6, x:x + 6] = 1
+    return pred, tar
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+@pytest.mark.parametrize("seed,thresh,dthresh", [(0, 0.5, 5), (1, 0.25, 10),
+                                                 (2, 0.05, 20), (3, 0.75, 1.25)])
+def test_get_prec_recall_matches_reference(seed, thresh, dthresh):
+    import torch
+
+    import test as reftest  # /root/reference/test.py (safe: __main__ guarded)
+
+    pred, tar = _scene_masks(seed)
+    ref_i, ref_d = reftest.getPrecRecall(torch.from_numpy(pred),
+                                         torch.from_numpy(tar), thresh, dthresh)
+    got_i, got_d = objmetrics.get_prec_recall(pred, tar, thresh, dthresh)
+    assert abs(ref_i - got_i) < 1e-9
+    assert abs(ref_d - got_d) < 1e-9
+
+
+def _shifted_pair(h=60, w=80, dx=3, dy=1):
+    rng = np.random.default_rng(0)
+    base = rng.random((h + 20, w + 20)).astype(np.float32)
+    # smooth it for textured but correlated content
+    k = np.ones((5, 5)) / 25
+    from scipy.signal import convolve2d
+
+    base = convolve2d(base, k, mode="same")
+    a = (base[10:10 + h, 10:10 + w] * 255).astype(np.uint8)
+    b = (base[10 - dy:10 - dy + h, 10 - dx:10 - dx + w] * 255).astype(np.uint8)
+    return a, b
+
+
+def test_optflow_cv2_recovers_shift():
+    a, b = _shifted_pair(dx=3, dy=1)
+    flow = optflow.optflow_cv2(a, b)
+    # interior estimate should be close to (dx, dy)
+    inner = (slice(20, -20), slice(20, -20))
+    assert abs(np.median(flow[0][inner]) - 3) < 0.7
+    assert abs(np.median(flow[1][inner]) - 1) < 0.7
+
+
+def test_update_labels_cv2_matches_reference():
+    import torch
+
+    import transform as reftransform
+
+    rng = np.random.default_rng(1)
+    lab = rng.integers(0, 5, (30, 40))
+    flow = rng.normal(0, 2, (2, 30, 40)).astype(np.float32)
+    ref = reftransform.updateLabels(torch.from_numpy(lab), flow).numpy()
+    got = optflow.update_labels_cv2(lab, flow)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_optflow_jax_recovers_shift():
+    a, b = _shifted_pair(dx=3, dy=1)
+    flow = np.asarray(optflow.optflow_jax(a, b))
+    inner = (slice(20, -20), slice(20, -20))
+    assert abs(np.median(flow[inner][..., 0]) - 3) < 1.0
+    assert abs(np.median(flow[inner][..., 1]) - 1) < 1.0
+
+
+def test_warp_labels_jax_pure_shift():
+    import jax.numpy as jnp
+
+    lab = np.zeros((20, 30), np.int32)
+    lab[5:10, 5:10] = 2
+    flow = np.zeros((20, 30, 2), np.float32)
+    flow[..., 0] = 4.0  # sample from x+4 -> content moves left by 4
+    out = np.asarray(optflow.warp_labels_jax(jnp.asarray(lab), jnp.asarray(flow)))
+    assert (out[5:10, 1:6] == 2).all()
+    assert out[:, 10:].sum() == 0

@@ -1,0 +1,200 @@
+"""Naming / schedules / checkpoints / datasets / end-to-end train CLI."""
+
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+from robocupvision_tpu.train import naming, schedules
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synth_data import make_dataset_root  # noqa: E402
+
+
+# ---- naming ----------------------------------------------------------------
+
+def test_train_ckpt_names_match_reference_format():
+    f = naming.Flags()
+    assert naming.train_ckpt_name(f) == "checkpoints/best.weights"
+    f = naming.Flags(finetune=True, v2=True, no_ball=True, top_cam=True)
+    assert naming.train_ckpt_name(f, transfer=2) == \
+        "checkpoints/bestFinetunev2NoBalltopT2.weights"
+    assert naming.train_ckpt_name(f, 0, pruned=True, prune_pct=33, mflops=12) \
+        == "checkpoints/bestFinetunev2NoBalltop33_12.weights"
+    # load name drops "Finetune" but keeps camera when finetuning (train.py:256)
+    assert naming.train_load_name(f) == "checkpoints/bestv2NoBalltop.weights"
+    f = naming.Flags(no_scale=True, unet=True)
+    assert naming.train_ckpt_name(f) == "checkpoints/bestVGAUNet.weights"
+
+
+def test_legacy_names():
+    f = naming.Flags(no_scale=True, v2=False)
+    assert naming.legacy_model_name(f) == "pth/bestModelVGA.pth"
+    assert naming.legacy_model_name(f, seg=True, finetuned=True, camera="both",
+                                    pruned="Pruned2") == \
+        "pth/bestModelSegVGAbothFinetunedPruned2.pth"
+
+
+# ---- schedules -------------------------------------------------------------
+
+def test_cosine_annealing_matches_torch():
+    import torch
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-3)
+    ref = torch.optim.lr_scheduler.CosineAnnealingLR(opt, 100, eta_min=1e-4)
+    ours = schedules.CosineAnnealingLR([1e-3], 100, 1e-4)
+    for epoch in range(100):
+        assert abs(opt.param_groups[0]["lr"] - ours.get_lr()[0]) < 1e-12
+        ref.step()
+        ours.step()
+
+
+def test_reduce_on_plateau_with_rollback_cb():
+    calls = []
+    s = schedules.ReduceLROnPlateau(1.0, "min", factor=0.5, patience=2,
+                                    cb=lambda: calls.append(s.last_epoch))
+    lrs = [s.step(v) for v in [1.0, 0.9, 0.9, 0.9, 0.9, 0.5, 0.5, 0.5, 0.5]]
+    # bad epochs at metrics 0.9,0.9,0.9 (3 > patience 2) -> reduce at idx 4
+    assert lrs[3] == 1.0 and lrs[4] == 0.5
+    assert calls and calls[0] == 4
+    assert lrs[-1] == 0.25  # second plateau at 0.5 values
+
+
+def test_plateau_matches_torch_reduce():
+    import torch
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, "min", factor=0.5,
+                                                     patience=3)
+    ours = schedules.ReduceLROnPlateau(1.0, "min", factor=0.5, patience=3)
+    metrics = [1.0, 0.9, 0.95, 0.93, 0.92, 0.91, 0.91, 0.91, 0.8, 0.85, 0.85,
+               0.85, 0.85, 0.85]
+    for m in metrics:
+        ref.step(m)
+        ours.step(m)
+        assert abs(opt.param_groups[0]["lr"] - ours.lr) < 1e-12
+
+
+# ---- checkpoints -----------------------------------------------------------
+
+def test_checkpoint_roundtrip_and_torch_fallback(tmp_path):
+    import jax
+    import torch
+
+    from robocupvision_tpu.export.torch_io import to_torch_state_dict
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import checkpoint
+
+    m = zoo.make("robo_unet", planes=4, depth=3, levels=1, belly_size=2,
+                 belly_planes=8)
+    params = {k: np.asarray(v) for k, v in m.init(jax.random.PRNGKey(0)).items()}
+
+    p1 = str(tmp_path / "a.weights")
+    checkpoint.save(p1, m.registry, params)
+    back = checkpoint.load_any(p1, m.registry)
+    for k in params:
+        np.testing.assert_array_equal(params[k], back[k])
+
+    # torch pickle fallback (reference-produced checkpoints)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_torch_state_dict(m.registry, params).items()}
+    p2 = str(tmp_path / "b.weights")
+    torch.save(sd, p2)
+    back2 = checkpoint.load_any(p2, m.registry)
+    for k in params:
+        np.testing.assert_allclose(params[k], back2[k], rtol=1e-6, atol=1e-7)
+
+
+# ---- datasets --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("robocup")
+    return make_dataset_root(str(root), size=(48, 64))
+
+
+def test_ssyuv_dataset(data_root):
+    from robocupvision_tpu.data.datasets import SSYUVDataset
+
+    ds = SSYUVDataset(data_root, (48, 64), train=True, finetune=False)
+    assert len(ds) == 12
+    img, lab = ds[0]
+    assert img.shape == (48, 64, 3) and img.dtype == np.float32
+    assert lab.shape == (48, 64) and set(np.unique(lab)) <= set(range(5))
+
+    # camera filtering on the finetune tree
+    top = SSYUVDataset(data_root, (48, 64), True, finetune=True, camera="top")
+    bot = SSYUVDataset(data_root, (48, 64), True, finetune=True, camera="bottom")
+    both = SSYUVDataset(data_root, (48, 64), True, finetune=True, camera="both")
+    assert len(top) + len(bot) == len(both) == 12
+
+
+def test_lp_dataset(data_root):
+    from robocupvision_tpu.data.datasets import LPDataSet
+
+    ds = LPDataSet(data_root, train=True, img_size=(48, 64), finetune=True,
+                   len_seq=2)
+    assert len(ds) == 2 * (5 - 2 + 1)
+    imgs, labs, grays = ds[0]
+    assert imgs.shape == (2, 48, 64, 3)
+    assert labs.shape == (2, 48, 64)
+    assert grays.shape == (2, 48, 64) and grays.dtype == np.uint8
+
+
+def test_image_folder(data_root):
+    from robocupvision_tpu.data.datasets import ImageFolder
+
+    ds = ImageFolder(osp.join(data_root, "Classification", "train"))
+    assert ds.classes == ["ball", "bg", "goal", "robot"]
+    assert len(ds) == 24
+    img, lab = ds[0]
+    assert img.shape[2] == 3 and 0 <= lab < 4
+
+
+def test_device_cache_batches(data_root):
+    import jax
+
+    from robocupvision_tpu.data.datasets import SSYUVDataset
+    from robocupvision_tpu.data.device_cache import DeviceCache, epoch_batches
+
+    ds = SSYUVDataset(data_root, (48, 64), train=True)
+    cache = DeviceCache.from_numpy(*ds.load_all())
+    batches = list(epoch_batches(cache, 5, jax.random.PRNGKey(0)))
+    assert len(batches) == 3  # 12 imgs / 5 -> 3 padded batches
+    assert batches[0][0].shape == (5, 48, 64, 3)
+    total_valid = sum(float(b[2].sum()) for b in batches)
+    assert total_valid == 12
+
+
+# ---- end-to-end CLI --------------------------------------------------------
+
+def test_train_cli_end_to_end(data_root, tmp_path, monkeypatch, capsys):
+    """python -m ...train equivalent on the tiny synthetic dataset: runs,
+    learns something, writes the correctly-named checkpoint."""
+    monkeypatch.chdir(tmp_path)
+    from robocupvision_tpu.cli import train as cli_train
+
+    rc = cli_train.main(["--root", data_root, "--epochs", "3",
+                         "--batchSize", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Saving best model" in out
+    assert osp.exists(tmp_path / "checkpoints" / "best.weights")
+
+    # masked variant writes its own name
+    rc = cli_train.main(["--root", data_root, "--epochs", "1",
+                         "--batchSize", "8", "--noBall", "--noLine"])
+    assert rc == 0
+    assert osp.exists(tmp_path / "checkpoints" / "bestNoBallNoLine.weights")
+
+
+def test_train_cli_rejects_all_background(capsys):
+    from robocupvision_tpu.cli import train as cli_train
+
+    rc = cli_train.main(["--noBall", "--noGoal", "--noRobot", "--noLine"])
+    assert rc == -1
+    assert "non-background" in capsys.readouterr().out
