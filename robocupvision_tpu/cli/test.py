@@ -49,7 +49,7 @@ def main(argv=None) -> int:
     from robocupvision_tpu.models import zoo
     from robocupvision_tpu.ops import objmetrics, optflow
     from robocupvision_tpu.ops.labels import mask_label_table
-    from robocupvision_tpu.ops.metrics import SegAccum, seg_finalize
+    from robocupvision_tpu.ops.metrics import SegAccum, seg_finalize, to_host
     from robocupvision_tpu.train import checkpoint, naming
     from robocupvision_tpu.train.step import StepCfg, make_eval_step
 
@@ -149,7 +149,7 @@ def main(argv=None) -> int:
         def eval_batch(bimgs, btgt, bmask, cvimgs=None):
             nonlocal acc, tot_loss, n_batches, img_cnt, rec_prec, rec_prec_lp
             out = eval_step(params, bimgs, btgt, bmask)
-            acc = acc + out["acc"]
+            acc = acc + to_host(out["acc"])
             tot_loss += float(out["loss"])
             n_batches += 1
             pred = np.asarray(out["pred"])

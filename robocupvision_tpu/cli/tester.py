@@ -45,7 +45,7 @@ def main(argv=None) -> int:
     from robocupvision_tpu.export import deploy
     from robocupvision_tpu.models import zoo
     from robocupvision_tpu.ops.labels import colorize, mask_label_table
-    from robocupvision_tpu.ops.metrics import SegAccum, seg_batch_stats, seg_finalize
+    from robocupvision_tpu.ops.metrics import SegAccum, seg_batch_stats_host, seg_finalize
     from robocupvision_tpu.train import checkpoint, naming
 
     flags = naming.Flags(v2=opt.v2, no_scale=opt.noScale, no_ball=opt.noBall,
@@ -126,7 +126,7 @@ def main(argv=None) -> int:
 
         Image.fromarray(colorize(pred_np, 5)).save(
             os.path.join(out_dir, "%d.png" % i))
-        acc = acc + seg_batch_stats(pred, jnp.asarray(lab[None]), num_classes)
+        acc = acc + seg_batch_stats_host(pred, jnp.asarray(lab[None]), num_classes)
 
     fin = seg_finalize(acc, out_size)
     print("Validation Pixel Acc: %.2f Mean Class Acc: %.2f Mean IoU: %.2f"

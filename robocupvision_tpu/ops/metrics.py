@@ -32,11 +32,14 @@ class SegAccum:
 
     @classmethod
     def zero(cls, num_classes: int) -> "SegAccum":
-        z = jnp.zeros
-        return cls(z((num_classes, num_classes), jnp.float64
-                     if jax.config.jax_enable_x64 else jnp.float32),
-                   z((num_classes,), jnp.float32), z((num_classes,), jnp.float32),
-                   z((), jnp.float32), z((), jnp.float32))
+        """Host-side (numpy) zero accumulator — cross-batch accumulation runs
+        on host so eval loops never issue eager device ops per batch."""
+        import numpy as np
+
+        z = np.zeros
+        return cls(z((num_classes, num_classes), np.float64),
+                   z((num_classes,), np.float64), z((num_classes,), np.float64),
+                   z((), np.float64), z((), np.float64))
 
     def __add__(self, other: "SegAccum") -> "SegAccum":
         return SegAccum(self.conf + other.conf, self.iou_sum + other.iou_sum,
@@ -100,6 +103,28 @@ def seg_finalize(acc: SegAccum, out_size: float) -> dict:
         "mean_iou": mean_iou,
         "score": (mean_class_acc + mean_iou) / 2.0,
     }
+
+
+seg_batch_stats_jit = jax.jit(seg_batch_stats, static_argnums=(2,))
+
+
+def to_host(acc: SegAccum) -> SegAccum:
+    import numpy as np
+
+    return SegAccum(np.asarray(acc.conf), np.asarray(acc.iou_sum),
+                    np.asarray(acc.lab_cnts), np.asarray(acc.correct),
+                    np.asarray(acc.img_cnt))
+
+
+def seg_batch_stats_host(pred_cls, targets, num_classes: int,
+                         sample_mask=None) -> SegAccum:
+    """Jitted stats + host-side numpy accumulator fields.
+
+    Eager per-op dispatch is pathologically slow over remote TPU transports;
+    per-sample eval loops (tester/validLabelProp) must use this jitted entry.
+    """
+    return to_host(seg_batch_stats_jit(pred_cls, targets, num_classes,
+                                       sample_mask))
 
 
 def class_batch_stats(pred_cls: jax.Array, targets: jax.Array,

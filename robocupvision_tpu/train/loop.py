@@ -118,7 +118,9 @@ class Trainer:
                 correct_cls += float(out["correct"])
                 imgs_cls += float(out["img_cnt"])
             else:
-                acc = acc + out["acc"]
+                from robocupvision_tpu.ops.metrics import to_host
+
+                acc = acc + to_host(out["acc"])
         if self.cfg.loss == "ce":
             return {"loss": tot_loss / max(n_batches, 1), "conf": conf_cls,
                     "acc": correct_cls * 100.0 / max(imgs_cls, 1.0)}

@@ -1,0 +1,105 @@
+"""End-to-end tests for the legacy pipeline CLIs:
+classTrainer -> trainer -> pruner, labelPropTrain -> validLabelProp,
+classVal, objDetEval."""
+
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synth_data import make_classification_tree, make_lp_tree, make_seg_tree  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("robocup"))
+    # legacy SSDataSet path: 128x128 so scale-4 inputs (32x32) divide through
+    # the stride pyramid
+    make_seg_tree(root, size=(128, 128), cameras=False)
+    make_seg_tree(osp.join(root, "FinetuneHorizon"), size=(128, 128))
+    make_lp_tree(root, size=(48, 64))
+    make_classification_tree(osp.join(root, "Classification"))
+    work = str(tmp_path_factory.mktemp("work"))
+    return {"root": root, "work": work}
+
+
+def test_class_then_seg_then_prune_pipeline(env, monkeypatch, capsys):
+    monkeypatch.chdir(env["work"])
+    from robocupvision_tpu.cli import classTrainer, pruner, trainer
+
+    # stage 1: classification pretraining
+    rc = classTrainer.main(["--root", env["root"], "--epochs", "2"])
+    assert rc == 0
+    assert osp.exists("pth/bestModel.pth")
+
+    # stage 2: segmentation training from the pretrained backbone
+    rc = trainer.main(["--root", env["root"], "--epochs", "2", "--batchSize", "8"])
+    assert rc == 0
+    assert osp.exists("pth/bestModelSeg.pth")
+    out = capsys.readouterr().out
+    assert "Optimization finished" in out
+
+    # stage 2b: finetune consumes the stage-2 checkpoint
+    rc = trainer.main(["--root", env["root"], "--epochs", "2", "--batchSize",
+                       "8", "--finetune"])
+    assert rc == 0
+    assert osp.exists("pth/bestModelSegbothFinetuned.pth")
+
+    # stage 2c: finetune+prune consumes the Finetuned checkpoint
+    rc = trainer.main(["--root", env["root"], "--epochs", "2", "--batchSize",
+                       "8", "--finetune", "--prune"])
+    assert rc == 0
+    assert osp.exists("pth/bestModelSegbothFinetunedPruned.pth")
+    out = capsys.readouterr().out
+    assert "Pruned" in out  # prune_band printed percentages
+
+    # stage 3: iterative pruning from the Finetuned checkpoint
+    rc = pruner.main(["--root", env["root"], "--iters", "2",
+                      "--epochsPerIter", "1", "--batchSize", "8"])
+    assert rc == 0
+    assert osp.exists("pth/bestModelSegbothFinetunedPruned2.pth")
+
+
+def test_label_prop_train_and_valid(env, monkeypatch, capsys):
+    monkeypatch.chdir(env["work"])
+    from robocupvision_tpu.cli import labelPropTrain, validLabelProp
+
+    rc = labelPropTrain.main(["--root", env["root"], "--epochs", "2",
+                              "--batchSize", "4"])
+    assert rc == 0
+    assert osp.exists("pth/bestModelLP.pth")
+
+    rc = validLabelProp.main(["--root", env["root"]])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Mean IoU" in out
+    assert osp.exists("weightsLP/net.cfg")
+    assert osp.exists("weightsLP/weights.dat")
+    assert osp.exists("output/LabelProp/Synthetic/0.png")
+
+    # optical-flow baseline (no checkpoint needed)
+    rc = validLabelProp.main(["--root", env["root"], "--optFlow"])
+    assert rc == 0
+    assert "Mean IoU" in capsys.readouterr().out
+
+
+def test_class_val_and_obj_det_eval(env, monkeypatch, capsys):
+    monkeypatch.chdir(env["work"])
+    from robocupvision_tpu.cli import classVal, objDetEval
+
+    rc = classVal.main(["--root", env["root"], "--epochs", "2"])
+    assert rc == 0
+    assert osp.exists("pth/bestModelB.pth")
+
+    rc = classVal.main(["--root", env["root"], "--epochs", "1", "--hessMC"])
+    assert rc == 0
+    assert osp.exists("pth/bestModelHessMC.pth")
+
+    rc = objDetEval.main(["--root", env["root"], "--epochs", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "False Neg" in out and "False Pos" in out
+    assert osp.exists("pth/bestModelHessL.pth")
