@@ -247,6 +247,7 @@ def run_cfg(sections: List[Section], flat_weights: np.ndarray, x: np.ndarray,
     outs = []
     cin = int(h.shape[-1])
     for name, kv in sections[1:]:
+        kv = {k: str(v) for k, v in kv.items()}  # accept int-valued sections
         act = kv.get("activation", "linear")
         if name == "convolutional":
             co = int(kv["filters"])
