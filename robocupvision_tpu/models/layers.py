@@ -59,8 +59,9 @@ class Registry:
         if bias:
             self._add(name + ".bias", (cout,), "conv_b")
 
-    def tconv(self, name: str, cin: int, cout: int, k: int = 3, bias: bool = True) -> None:
-        self._add(name + ".weight", (k, k, cin, cout), "tconv_w")
+    def tconv(self, name: str, cin: int, cout: int, k=3, bias: bool = True) -> None:
+        kh, kw = (k, k) if isinstance(k, int) else k
+        self._add(name + ".weight", (kh, kw, cin, cout), "tconv_w")
         if bias:
             self._add(name + ".bias", (cout,), "tconv_b")
 

@@ -86,6 +86,21 @@ def test_label_prop_train_and_valid(env, monkeypatch, capsys):
     assert "Mean IoU" in capsys.readouterr().out
 
 
+def test_make_lp_images(env, monkeypatch, capsys):
+    """Runs after the pipeline tests: needs bestModelSeg.pth + bestModelLP.pth."""
+    monkeypatch.chdir(env["work"])
+    import pytest as _pytest
+
+    if not (osp.exists("pth/bestModelSeg.pth") and osp.exists("pth/bestModelLP.pth")):
+        _pytest.skip("pipeline checkpoints not present")
+    from robocupvision_tpu.tools import make_lp_images
+
+    rc = make_lp_images.main(["--root", env["root"], "--out", "output/LPImages"])
+    assert rc == 0
+    assert osp.exists("output/LPImages/0_seg.png")
+    assert osp.exists("output/LPImages/0_lp.png")
+
+
 def test_class_val_and_obj_det_eval(env, monkeypatch, capsys):
     monkeypatch.chdir(env["work"])
     from robocupvision_tpu.cli import classVal, objDetEval
