@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--root", type=str,
                    default=os.environ.get("ROBOCUP_DATA", "../../Data/RoboCup"))
     p.add_argument("--batchSize", type=int, default=None)
+    p.add_argument("--bf16", help="bfloat16 compute (f32 master weights)",
+                   action="store_true", default=False)
     return p
 
 
@@ -137,7 +139,8 @@ def main(argv=None) -> int:
 
         cfg = StepCfg(num_classes=num_classes,
                       loss="dice" if opt.useDice else "ce2d", class_weights=cw,
-                      mask_flags=mask_flags, augment=False, out_size=out_size)
+                      mask_flags=mask_flags, augment=False, out_size=out_size,
+                      compute_dtype="bfloat16" if opt.bf16 else "float32")
         eval_step = make_eval_step(model, cfg)
 
         acc = SegAccum.zero(num_classes)

@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", help="Override epoch count", type=int, default=None)
     p.add_argument("--batchSize", help="Override batch size", type=int, default=None)
     p.add_argument("--spatial", help="Spatial mesh axis size", type=int, default=1)
+    p.add_argument("--bf16", help="bfloat16 compute (f32 master weights)",
+                   action="store_true", default=False)
     return p
 
 
@@ -151,7 +153,8 @@ def main(argv=None) -> int:
             cfg = StepCfg(num_classes=num_classes,
                           loss="dice" if opt.useDice else "ce2d",
                           class_weights=weights, l1_decay=decay,
-                          mask_flags=mask_flags, out_size=out_size)
+                          mask_flags=mask_flags, out_size=out_size,
+                          compute_dtype="bfloat16" if opt.bf16 else "float32")
             tx = optim.adam()
             mult = optim.transfer_multipliers(model.param_order, transfer)
             tr = Trainer(model, tx, cfg, train_cache, val_cache, batch_size,
@@ -198,7 +201,8 @@ def main(argv=None) -> int:
                 cfg_p = StepCfg(num_classes=num_classes,
                                 loss="dice" if opt.useDice else "ce2d",
                                 class_weights=weights, l1_decay=0.0,
-                                mask_flags=mask_flags, out_size=out_size)
+                                mask_flags=mask_flags, out_size=out_size,
+                                compute_dtype="bfloat16" if opt.bf16 else "float32")
                 tr = Trainer(model, optim.adam(), cfg_p, train_cache, val_cache,
                              batch_size)
                 tr.set_params(params)

@@ -41,6 +41,14 @@ def _pair(v: IntOrPair) -> Tuple[int, int]:
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
+def _pref(x, accum_dtype):
+    """Accumulation dtype hint: explicit f32 for f32 operands; for bf16
+    operands the MXU already accumulates in f32 internally, and requesting a
+    widened output breaks the autodiff transpose rule (cotangent/operand
+    dtype mismatch in lax.conv) — so keep the operand dtype."""
+    return accum_dtype if x.dtype == jnp.float32 else x.dtype
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
@@ -65,7 +73,7 @@ def conv2d(
         padding=((ph, ph), (pw, pw)),
         rhs_dilation=(dh, dw),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=_pref(x, accum_dtype),
     ).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -103,7 +111,7 @@ def conv_transpose2d(
         padding=pad,
         lhs_dilation=(sh, sw),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=_pref(x, accum_dtype),
     ).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -206,7 +214,8 @@ def dropout2d(rng: jax.Array, x: jax.Array, p: float, train: bool) -> jax.Array:
 
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
     """Dense layer; w is (in, out)."""
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jnp.dot(x, w.astype(x.dtype),
+                preferred_element_type=_pref(x, jnp.float32)).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y

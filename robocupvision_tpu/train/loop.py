@@ -83,18 +83,23 @@ class Trainer:
         if prune_masks is not None:
             masks_dev = {k: jnp.asarray(v, jnp.float32)
                          for k, v in prune_masks.items()}
-        tot_loss = tot_reg = correct = imgs = 0.0
-        n_batches = 0
         lr_arr = jnp.float32(lr)
+        # No host sync inside the epoch: steps dispatch asynchronously and the
+        # per-batch metric scalars are fetched in one device_get at the end
+        # (a per-batch float() would serialize the device pipeline and cost
+        # ~2x wall clock on remote-TPU transports).
+        pending = []
         for bi, (bimgs, btgt, bmask) in enumerate(
                 epoch_batches(self.train_cache, self.batch_size, self._next_rng())):
             self.state, out = self.train_step(self.state, bimgs, btgt, bmask,
                                               self._next_rng(), lr_arr, masks_dev)
-            tot_loss += float(out["loss"])
-            tot_reg += float(out["reg"])
-            correct += float(out["correct"])
-            imgs += float(out["img_cnt"])
-            n_batches += 1
+            pending.append(out)
+        n_batches = len(pending)
+        fetched = jax.device_get(pending)
+        tot_loss = sum(float(o["loss"]) for o in fetched)
+        tot_reg = sum(float(o["reg"]) for o in fetched)
+        correct = sum(float(o["correct"]) for o in fetched)
+        imgs = sum(float(o["img_cnt"]) for o in fetched)
         return EpochResult(
             loss=tot_loss / max(n_batches, 1), reg=tot_reg / max(n_batches, 1),
             pixel_acc=correct * self.cfg.out_size * 100.0 / max(imgs, 1.0),
@@ -103,24 +108,25 @@ class Trainer:
     def valid_epoch(self) -> Dict:
         assert self.state is not None and self.val_cache is not None
         acc = SegAccum.zero(self.cfg.num_classes)
-        tot_loss = 0.0
-        n_batches = 0
         conf_cls = None
         correct_cls = imgs_cls = 0.0
+        pending = []
         for bimgs, btgt, bmask in epoch_batches(self.val_cache, self.batch_size,
                                                 None):
             out = self.eval_step(self.state.params, bimgs, btgt, bmask)
+            out.pop("pred", None)  # not needed for metrics; avoid the transfer
+            pending.append(out)
+        n_batches = len(pending)
+        tot_loss = 0.0
+        for out in jax.device_get(pending):
             tot_loss += float(out["loss"])
-            n_batches += 1
             if self.cfg.loss == "ce":
                 c = np.asarray(out["conf"])
                 conf_cls = c if conf_cls is None else conf_cls + c
                 correct_cls += float(out["correct"])
                 imgs_cls += float(out["img_cnt"])
             else:
-                from robocupvision_tpu.ops.metrics import to_host
-
-                acc = acc + to_host(out["acc"])
+                acc = acc + out["acc"]
         if self.cfg.loss == "ce":
             return {"loss": tot_loss / max(n_batches, 1), "conf": conf_cls,
                     "acc": correct_cls * 100.0 / max(imgs_cls, 1.0)}

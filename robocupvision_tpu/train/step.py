@@ -48,6 +48,8 @@ class StepCfg:
     augment: bool = True                # flip + YUV jitter on device
     jitter: bool = True
     out_size: float = 1.0               # 1/(H*W) pixel-acc normalizer
+    compute_dtype: str = "float32"      # "bfloat16": bf16 fwd/bwd, f32 master
+                                        # weights + f32 loss/stats/optimizer
 
 
 def _loss(cfg: StepCfg, logits, targets, mask):
@@ -78,6 +80,10 @@ def make_train_step(model: Model, tx: optax.GradientTransformation, cfg: StepCfg
 
     def loss_fn(trainable: Params, state: Params, imgs, targets, mask, rng):
         p = {**trainable, **state}
+        if cfg.compute_dtype == "bfloat16":
+            # activations run bf16 (ops cast weights per-op — a fused convert);
+            # master params, BN stats and the loss stay f32.
+            imgs = imgs.astype(jnp.bfloat16)
         logits, mut = model.apply(p, imgs, train=True, rng=rng)
         if cfg.loss == "ce":
             logits = logits.reshape(logits.shape[0], -1)  # squeeze 1x1 spatial
@@ -135,6 +141,8 @@ def make_eval_step(model: Model, cfg: StepCfg):
 
     def step(params: Params, imgs, targets, sample_mask):
         targets = labels.mask_label(targets, nb, nr, ng, nl)
+        if cfg.compute_dtype == "bfloat16":
+            imgs = imgs.astype(jnp.bfloat16)
         logits, _ = model.apply(params, imgs, train=False)
         if cfg.loss == "ce":
             logits = logits.reshape(logits.shape[0], -1)

@@ -111,6 +111,34 @@ def test_eval_step_metrics():
     assert out["pred"].shape == targets.shape
 
 
+def test_bf16_train_step_and_eval():
+    """bfloat16 compute path: loss decreases, master weights stay f32, BN
+    stats stay f32, and eval predictions closely match the f32 path."""
+    model, tx, _ = _setup()
+    cfg16 = tstep.StepCfg(num_classes=5, class_weights=(1, 10, 30, 10, 2),
+                          l1_decay=1e-6, out_size=1.0 / (32 * 32),
+                          compute_dtype="bfloat16")
+    step = tstep.make_train_step(model, tx, cfg16, donate=False)
+    state = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+    imgs, targets, mask = _batch()
+    losses = []
+    for i in range(6):
+        state, out = step(state, imgs, targets, mask, jax.random.PRNGKey(100),
+                          jnp.float32(1e-2), None)
+        losses.append(float(out["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(v.dtype == jnp.float32 for v in state.params.values())
+
+    cfg32 = tstep.StepCfg(num_classes=5, augment=False,
+                          out_size=1.0 / (32 * 32))
+    cfg16e = tstep.StepCfg(num_classes=5, augment=False,
+                           out_size=1.0 / (32 * 32), compute_dtype="bfloat16")
+    e32 = tstep.make_eval_step(model, cfg32)(state.params, imgs, targets, mask)
+    e16 = tstep.make_eval_step(model, cfg16e)(state.params, imgs, targets, mask)
+    agree = float(jnp.mean((e32["pred"] == e16["pred"]).astype(jnp.float32)))
+    assert agree > 0.97, agree
+
+
 def test_multichip_dryrun_8_devices():
     assert len(jax.devices()) == 8
     import __graft_entry__
