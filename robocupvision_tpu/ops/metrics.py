@@ -54,10 +54,13 @@ jax.tree_util.register_dataclass(
 
 
 def seg_batch_stats(pred_cls: jax.Array, targets: jax.Array, num_classes: int,
-                    sample_mask: Optional[jax.Array] = None) -> SegAccum:
+                    sample_mask: Optional[jax.Array] = None,
+                    impl: str = "auto") -> SegAccum:
     """Per-batch contribution; pred_cls/targets are (B, H, W) int arrays.
 
     ``sample_mask`` (B,) zeroes out padded samples in every statistic.
+    ``impl``: "einsum" (one-hot matmul), "pallas" (direct integer-map counting
+    kernel — ~2*C less HBM traffic), or "auto" (pallas on TPU backends).
     """
     b = pred_cls.shape[0]
     pred = pred_cls.astype(jnp.int32)
@@ -65,11 +68,17 @@ def seg_batch_stats(pred_cls: jax.Array, targets: jax.Array, num_classes: int,
     m = (jnp.ones((b,), jnp.float32) if sample_mask is None
          else sample_mask.astype(jnp.float32))
 
-    oh_pred = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
-    oh_tgt = jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
+    if impl == "pallas":
+        from robocupvision_tpu.ops.pallas_kernels import confusion_matrix_pallas
 
-    # per-image confusion: (B, Cpred, Clab)
-    conf_img = jnp.einsum("bhwp,bhwl->bpl", oh_pred, oh_tgt)
+        conf_img = confusion_matrix_pallas(pred, tgt, num_classes)
+    else:
+        oh_pred = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+        oh_tgt = jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
+        # per-image confusion: (B, Cpred, Clab)
+        conf_img = jnp.einsum("bhwp,bhwl->bpl", oh_pred, oh_tgt)
     inter = jnp.einsum("bcc->bc", conf_img)
     pred_cnt = jnp.sum(conf_img, axis=2)
     lab_cnt = jnp.sum(conf_img, axis=1)
