@@ -36,7 +36,7 @@ class Trainer:
     def __init__(self, model: Model, tx, cfg: tstep.StepCfg,
                  train_cache: Optional[DeviceCache], val_cache: Optional[DeviceCache],
                  batch_size: int, multipliers: Optional[Dict[str, float]] = None,
-                 seed: int = 12345678):
+                 seed: int = 12345678, scan_epochs: bool = True):
         self.model = model
         self.cfg = cfg
         self.tx = tx
@@ -48,6 +48,14 @@ class Trainer:
         self.eval_step = tstep.make_eval_step(model, cfg)
         self.rng = jax.random.PRNGKey(seed)
         self.state: Optional[tstep.TrainState] = None
+        self.scan_epochs = scan_epochs
+        self._epoch_fn = None
+        if scan_epochs and train_cache is not None and train_cache.n > 0:
+            from robocupvision_tpu.data.device_cache import num_batches
+
+            self._n_batches = num_batches(train_cache.n, batch_size)
+            self._epoch_fn = tstep.make_epoch_fn(model, tx, cfg, batch_size,
+                                                 self._n_batches, multipliers)
 
     # -- state management ---------------------------------------------------
 
@@ -84,6 +92,8 @@ class Trainer:
             masks_dev = {k: jnp.asarray(v, jnp.float32)
                          for k, v in prune_masks.items()}
         lr_arr = jnp.float32(lr)
+        if self._epoch_fn is not None:
+            return self._train_epoch_scan(lr_arr, masks_dev)
         # No host sync inside the epoch: steps dispatch asynchronously and the
         # per-batch metric scalars are fetched in one device_get at the end
         # (a per-batch float() would serialize the device pipeline and cost
@@ -103,6 +113,30 @@ class Trainer:
         return EpochResult(
             loss=tot_loss / max(n_batches, 1), reg=tot_reg / max(n_batches, 1),
             pixel_acc=correct * self.cfg.out_size * 100.0 / max(imgs, 1.0),
+            extra={})
+
+    def _train_epoch_scan(self, lr_arr, masks_dev) -> EpochResult:
+        """One device dispatch for the whole epoch (lax.scan over batches)."""
+        cache = self.train_cache
+        n = cache.n
+        total = self._n_batches * self.batch_size
+        perm = jax.random.permutation(self._next_rng(), n)
+        pad = total - n
+        if pad > 0:
+            perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        valid = jnp.concatenate([jnp.ones((n,), jnp.float32),
+                                 jnp.zeros((max(pad, 0),), jnp.float32)])
+        self.state, outs = self._epoch_fn(self.state, cache.images,
+                                          cache.labels, perm, valid,
+                                          self._next_rng(), lr_arr, masks_dev)
+        outs = jax.device_get(outs)
+        n_batches = self._n_batches
+        imgs = float(np.sum(outs["img_cnt"]))
+        return EpochResult(
+            loss=float(np.sum(outs["loss"])) / max(n_batches, 1),
+            reg=float(np.sum(outs["reg"])) / max(n_batches, 1),
+            pixel_acc=float(np.sum(outs["correct"])) * self.cfg.out_size
+            * 100.0 / max(imgs, 1.0),
             extra={})
 
     def valid_epoch(self) -> Dict:

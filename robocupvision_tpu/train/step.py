@@ -77,6 +77,15 @@ def make_train_step(model: Model, tx: optax.GradientTransformation, cfg: StepCfg
     serves masked and unmasked epochs when shapes match.
     """
     nb, nr, ng, nl = cfg.mask_flags
+    step = _train_step_body(model, tx, cfg, multipliers)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _train_step_body(model: Model, tx: optax.GradientTransformation,
+                     cfg: StepCfg, multipliers: Optional[Dict[str, float]] = None):
+    """The un-jitted step body — jitted directly by make_train_step, or
+    scanned over a whole epoch by make_epoch_fn."""
+    nb, nr, ng, nl = cfg.mask_flags
 
     def loss_fn(trainable: Params, state: Params, imgs, targets, mask, rng):
         p = {**trainable, **state}
@@ -132,7 +141,39 @@ def make_train_step(model: Model, tx: optax.GradientTransformation, cfg: StepCfg
         }
         return TrainState(new_params, opt_state), out
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
+
+
+def make_epoch_fn(model: Model, tx: optax.GradientTransformation, cfg: StepCfg,
+                  batch_size: int, n_batches: int,
+                  multipliers: Optional[Dict[str, float]] = None):
+    """One jitted call per EPOCH: lax.scan over static-shape batches gathered
+    from the HBM-cached dataset — the reference's whole DataLoader-plus-loop
+    becomes a single XLA program with zero per-batch dispatch.
+
+    Signature: epoch(state, images, labels, perm, valid_mask, rng, lr,
+    prune_masks) -> (state, stacked per-batch metric dict). ``perm`` is a
+    padded index vector of length n_batches * batch_size; ``valid_mask``
+    marks real (non-padding) positions.
+    """
+    step = _train_step_body(model, tx, cfg, multipliers)
+
+    def epoch(state: TrainState, images, labels, perm, valid_mask, rng, lr,
+              prune_masks: Optional[Params]):
+        def body(carry, bi):
+            st = carry
+            start = bi * batch_size
+            idx = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
+            bimgs = jnp.take(images, idx, axis=0)
+            btgt = jnp.take(labels, idx, axis=0)
+            bmask = jax.lax.dynamic_slice_in_dim(valid_mask, start, batch_size)
+            st, out = step(st, bimgs, btgt, bmask,
+                           jax.random.fold_in(rng, bi), lr, prune_masks)
+            return st, out
+
+        return jax.lax.scan(body, state, jnp.arange(n_batches))
+
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 def make_eval_step(model: Model, cfg: StepCfg):
