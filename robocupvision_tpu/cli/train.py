@@ -157,8 +157,15 @@ def main(argv=None) -> int:
                           compute_dtype="bfloat16" if opt.bf16 else "float32")
             tx = optim.adam()
             mult = optim.transfer_multipliers(model.param_order, transfer)
+            mesh = None
+            if len(jax.devices()) > 1 or opt.spatial > 1:
+                from robocupvision_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(spatial=opt.spatial)
+                print(f"mesh: data={mesh.shape['data']} "
+                      f"spatial={mesh.shape['spatial']}")
             tr = Trainer(model, tx, cfg, train_cache, val_cache, batch_size,
-                         multipliers=mult)
+                         multipliers=mult, mesh=mesh)
             tr.init(jax.random.PRNGKey(12345678))
 
             if finetune:

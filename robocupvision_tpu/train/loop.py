@@ -36,10 +36,37 @@ class Trainer:
     def __init__(self, model: Model, tx, cfg: tstep.StepCfg,
                  train_cache: Optional[DeviceCache], val_cache: Optional[DeviceCache],
                  batch_size: int, multipliers: Optional[Dict[str, float]] = None,
-                 seed: int = 12345678, scan_epochs: bool = True):
+                 seed: int = 12345678, scan_epochs: bool = True, mesh=None):
+        """``mesh``: a parallel.mesh Mesh — dataset caches are sharded over
+        the 'data' axis and the train state replicated; XLA inserts the
+        gradient psum / sync-BN collectives under jit automatically."""
         self.model = model
         self.cfg = cfg
         self.tx = tx
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_shard = NamedSharding(mesh, P("data"))
+            n_data = mesh.shape["data"]
+
+            def _shard_cache(cache: DeviceCache) -> DeviceCache:
+                # pad dim 0 to the data-axis size; pad rows are never gathered
+                # (permutations/index vectors only cover [0, n))
+                pad = (-cache.n) % n_data
+                imgs, labs = cache.images, cache.labels
+                if pad:
+                    imgs = jnp.concatenate(
+                        [imgs, jnp.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+                    labs = jnp.concatenate(
+                        [labs, jnp.zeros((pad,) + labs.shape[1:], labs.dtype)])
+                return DeviceCache(jax.device_put(imgs, data_shard),
+                                   jax.device_put(labs, data_shard), cache.n)
+
+            if train_cache is not None:
+                train_cache = _shard_cache(train_cache)
+            if val_cache is not None:
+                val_cache = _shard_cache(val_cache)
         self.train_cache = train_cache
         self.val_cache = val_cache
         self.batch_size = batch_size
@@ -59,9 +86,16 @@ class Trainer:
 
     # -- state management ---------------------------------------------------
 
+    def _replicate(self, state: tstep.TrainState) -> tstep.TrainState:
+        if self.mesh is None:
+            return state
+        from robocupvision_tpu.parallel.mesh import replicate_state
+
+        return replicate_state(self.mesh, state)
+
     def init(self, rng: Optional[jax.Array] = None) -> None:
-        self.state = tstep.init_state(self.model, self.tx,
-                                      rng if rng is not None else self.rng)
+        self.state = self._replicate(tstep.init_state(
+            self.model, self.tx, rng if rng is not None else self.rng))
 
     def set_params(self, params: Dict[str, np.ndarray],
                    reset_opt: bool = True) -> None:
@@ -70,9 +104,11 @@ class Trainer:
             from robocupvision_tpu.models.layers import split_params
 
             trainable, _ = split_params(dev)
-            self.state = tstep.TrainState(dev, self.tx.init(trainable))
+            self.state = self._replicate(
+                tstep.TrainState(dev, self.tx.init(trainable)))
         else:
-            self.state = tstep.TrainState(dev, self.state.opt_state)
+            self.state = self._replicate(
+                tstep.TrainState(dev, self.state.opt_state))
 
     def params_numpy(self) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v) for k, v in self.state.params.items()}

@@ -146,6 +146,37 @@ def test_multichip_dryrun_8_devices():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_trainer_with_mesh_trains_on_8_devices():
+    """Full Trainer (scan epochs) over a data-sharded cache on the CPU mesh."""
+    import numpy as _np
+
+    from robocupvision_tpu.data.device_cache import DeviceCache
+
+    mesh = pmesh.make_mesh(8, spatial=1)
+    model = zoo.make("robo_unet", **TINY)
+    cfg = tstep.StepCfg(num_classes=5, augment=False, out_size=1.0 / (32 * 32))
+    rng = _np.random.default_rng(0)
+    imgs = rng.standard_normal((16, 32, 32, 3)).astype(_np.float32)
+    labs = rng.integers(0, 5, (16, 32, 32)).astype(_np.int32)
+    cache = DeviceCache.from_numpy(imgs, labs)
+
+    from robocupvision_tpu.train.loop import Trainer
+
+    with mesh:
+        tr = Trainer(model, optim.sgd(momentum=0.5), cfg, cache, cache, 8,
+                     mesh=mesh)
+        tr.init(jax.random.PRNGKey(0))
+        losses = [tr.train_epoch(1e-2).loss for _ in range(4)]
+        val = tr.valid_epoch()
+    assert losses[-1] < losses[0]
+    assert np.isfinite(val["mean_iou"])
+    # compare against unsharded run: same seed, same single-epoch result
+    tr2 = Trainer(model, optim.sgd(momentum=0.5), cfg, cache, cache, 8)
+    tr2.init(jax.random.PRNGKey(0))
+    l2 = [tr2.train_epoch(1e-2).loss for _ in range(4)]
+    np.testing.assert_allclose(losses, l2, rtol=1e-3)
+
+
 def test_sharded_step_matches_single_device():
     """Data-parallel sharded train step == unsharded step (same batch).
 
