@@ -166,10 +166,8 @@ def main(argv=None) -> int:
                                   for c in range(num_classes)])
             mask_tgt = np.stack([(tgt == c).astype(np.int64)
                                  for c in range(num_classes)])
-            for i, (t, dt) in enumerate(zip(thresholds, d_thresholds)):
-                vi, vd = objmetrics.get_prec_recall(mask_pred, mask_tgt, t, dt)
-                rec_prec[0, i] += vi
-                rec_prec[1, i] += vd
+            rec_prec += objmetrics.get_prec_recall_multi(
+                mask_pred, mask_tgt, thresholds, d_thresholds)
 
             if cvimgs is not None:
                 pred_lp = np.zeros_like(pred)
@@ -182,10 +180,8 @@ def main(argv=None) -> int:
                             pred_lp[i - 1], optflow.optflow_cv2(cvimgs[i], cvimgs[i - 1]))
                 mask_lp = np.stack([(pred_lp == c).astype(np.int64)
                                     for c in range(num_classes)])
-                for i, (t, dt) in enumerate(zip(thresholds, d_thresholds)):
-                    vi, vd = objmetrics.get_prec_recall(mask_lp, mask_tgt, t, dt)
-                    rec_prec_lp[0, i] += vi
-                    rec_prec_lp[1, i] += vd
+                rec_prec_lp += objmetrics.get_prec_recall_multi(
+                    mask_lp, mask_tgt, thresholds, d_thresholds)
 
         if opt.lProp:
             for si in range(len(lp)):

@@ -1,0 +1,81 @@
+"""Streaming input pipeline for datasets that don't fit in HBM.
+
+The default path (device_cache.py) holds the whole dataset on device — right
+for the reference's RoboCup-scale data. This module covers the big-data case:
+a background thread decodes + batches on host while the device trains, with
+``jax.device_put`` overlapping transfer (async dispatch), i.e. the TPU-native
+equivalent of the reference's num_workers DataLoaders (train.py:295-299).
+Yields the same (imgs, labels, sample_mask) static-shape padded batches as
+epoch_batches, so the jitted steps are identical for both pipelines.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamingBatches:
+    """Iterable over one epoch of device batches from an indexable dataset.
+
+    ``dataset`` needs __len__ and __getitem__ -> (img HWC f32, label).
+    """
+
+    def __init__(self, dataset, batch_size: int,
+                 rng: Optional[np.random.Generator] = None,
+                 prefetch: int = 2, sharding=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = rng
+        self.prefetch = prefetch
+        self.sharding = sharding
+
+    def __len__(self) -> int:
+        return -(-len(self.dataset) // self.batch_size)
+
+    def _host_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        order = (self.rng.permutation(n) if self.rng is not None
+                 else np.arange(n))
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            imgs, labs = zip(*(self.dataset[int(i)] for i in idx))
+            imgs = np.stack(imgs)
+            labs = np.stack(labs)
+            mask = np.ones(len(idx), np.float32)
+            pad = bs - len(idx)
+            if pad:
+                imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                      imgs.dtype)])
+                labs = np.concatenate([labs, np.zeros((pad,) + labs.shape[1:],
+                                                      labs.dtype)])
+                mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+            yield imgs, labs, mask
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._host_batches():
+                    put = (lambda a: jax.device_put(a, self.sharding)) \
+                        if self.sharding is not None else jax.device_put
+                    q.put(tuple(put(jnp.asarray(a)) for a in batch))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

@@ -43,6 +43,8 @@ def test_get_prec_recall_matches_reference(seed, thresh, dthresh):
     got_i, got_d = objmetrics.get_prec_recall(pred, tar, thresh, dthresh)
     assert abs(ref_i - got_i) < 1e-9
     assert abs(ref_d - got_d) < 1e-9
+    naive_i, naive_d = objmetrics.get_prec_recall_naive(pred, tar, thresh, dthresh)
+    assert abs(naive_i - got_i) < 1e-9 and abs(naive_d - got_d) < 1e-9
 
 
 def _shifted_pair(h=60, w=80, dx=3, dy=1):
@@ -98,3 +100,20 @@ def test_warp_labels_jax_pure_shift():
     out = np.asarray(optflow.warp_labels_jax(jnp.asarray(lab), jnp.asarray(flow)))
     assert (out[5:10, 1:6] == 2).all()
     assert out[:, 10:].sum() == 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_get_prec_recall_multi_matches_per_threshold():
+    import torch
+
+    import test as reftest
+
+    pred, tar = _scene_masks(7)
+    thresholds = [0.75, 0.5, 0.25, 0.1, 0.05]
+    dthresholds = [1.25, 2.5, 5, 10, 20]
+    multi = objmetrics.get_prec_recall_multi(pred, tar, thresholds, dthresholds)
+    for i, (t, dt) in enumerate(zip(thresholds, dthresholds)):
+        ref_i, ref_d = reftest.getPrecRecall(torch.from_numpy(pred),
+                                             torch.from_numpy(tar), t, dt)
+        assert abs(multi[0, i] - ref_i) < 1e-9
+        assert abs(multi[1, i] - ref_d) < 1e-9

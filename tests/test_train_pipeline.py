@@ -198,3 +198,35 @@ def test_train_cli_rejects_all_background(capsys):
     rc = cli_train.main(["--noBall", "--noGoal", "--noRobot", "--noLine"])
     assert rc == -1
     assert "non-background" in capsys.readouterr().out
+
+
+def test_streaming_batches(data_root):
+    import numpy as np
+
+    from robocupvision_tpu.data.datasets import SSYUVDataset
+    from robocupvision_tpu.data.streaming import StreamingBatches
+
+    ds = SSYUVDataset(data_root, (48, 64), train=True)
+    stream = StreamingBatches(ds, batch_size=5,
+                              rng=np.random.default_rng(0))
+    batches = list(stream)
+    assert len(batches) == len(stream) == 3
+    assert batches[0][0].shape == (5, 48, 64, 3)
+    assert sum(float(b[2].sum()) for b in batches) == 12  # padding masked
+
+    # streamed batches feed the same jitted step as cached ones
+    import jax
+    import jax.numpy as jnp
+
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import optim, step as tstep
+
+    model = zoo.make("robo_unet", planes=4, depth=3, levels=1, belly_size=2,
+                     belly_planes=8)
+    cfg = tstep.StepCfg(num_classes=5, out_size=1.0 / (48 * 64))
+    step = tstep.make_train_step(model, optim.adam(), cfg, donate=False)
+    state = tstep.init_state(model, optim.adam(), jax.random.PRNGKey(0))
+    for imgs, labs, mask in StreamingBatches(ds, 5, np.random.default_rng(1)):
+        state, out = step(state, imgs, labs, mask, jax.random.PRNGKey(1),
+                          jnp.float32(1e-3), None)
+    assert np.isfinite(float(out["loss"]))
