@@ -10,7 +10,7 @@ skimage derives YUV via the BT.601 matrix below.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ device instead of sequential in-place passes.
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Reference behavior being reproduced (cited for parity checks, not copied):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

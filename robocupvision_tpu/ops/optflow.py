@@ -16,7 +16,7 @@ Two implementations:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np
