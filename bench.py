@@ -84,9 +84,47 @@ def bench_train_steps(iters: int = 50):
     return out
 
 
+def bench_torch_cpu_baseline(iters: int = 3):
+    """The reference's own model on torch-CPU (this host), same workload:
+    batch-64 QVGA fwd+bwd+Adam step. Returns steps/sec or None if the
+    reference isn't mounted. This is the BASELINE.md >=5x comparison point."""
+    import os
+
+    if not os.path.isdir("/root/reference"):
+        return None
+    try:
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        import torch
+
+        import model as refmodel
+
+        tm = refmodel.ROBO_UNet()
+        opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+        crit = refmodel.CrossEntropyLoss2d(torch.tensor([1., 10, 30, 10, 2]))
+        x = torch.randn(64, 3, 120, 160)
+        t = torch.zeros(64, 120, 160, dtype=torch.long)
+        tm.train()
+        # warmup
+        opt.zero_grad()
+        crit(tm(x), t).backward()
+        opt.step()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            opt.zero_grad()
+            loss = crit(tm(x), t)
+            loss.backward()
+            opt.step()
+        return iters / (time.perf_counter() - t0)
+    except Exception:
+        return None
+
+
 if __name__ == "__main__":
     fps_f32, fps_bf16, fps_b4 = bench_vga_inference()
     steps = bench_train_steps()
+    torch_steps = bench_torch_cpu_baseline()
     print(json.dumps({
         "metric": "robo_unet_vga_640x480_inference_fps_per_chip",
         "value": round(fps_bf16, 2),
@@ -97,5 +135,9 @@ if __name__ == "__main__":
             "fps_bf16_b4_throughput": round(fps_b4, 2),
             "train_steps_per_sec_b64_qvga_f32": round(steps["float32"], 2),
             "train_steps_per_sec_b64_qvga_bf16": round(steps["bfloat16"], 2),
+            **({"torch_cpu_reference_steps_per_sec": round(torch_steps, 3),
+                "train_speedup_vs_torch_cpu":
+                    round(steps["bfloat16"] / torch_steps, 1)}
+               if torch_steps else {}),
         },
     }))
