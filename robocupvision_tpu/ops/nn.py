@@ -118,6 +118,65 @@ def conv_transpose2d(
     return y
 
 
+def conv_transpose2d_subpixel(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+) -> jax.Array:
+    """ConvTranspose2d(k=3, s=2, p=1, op=1) as one 2x2 conv + depth-to-space.
+
+    Exactly equivalent to ``conv_transpose2d`` for this configuration (the
+    only one the model zoo uses): the phase decomposition emits 4*C_out
+    channels from a dense 2x2 conv (16/36 of the dense-at-output MACs, 4x
+    the lane utilization), then depth-to-space.
+
+    Measured on v5e: wins ~1.5x at >=64 output channels; at the flagship's
+    8-32 channel decoders the depth-to-space relayout costs more than the
+    dilated conv saves (full-model VGA 2.08 ms dilated vs 2.31 ms subpixel),
+    so the default path stays ``conv_transpose2d``. Use this for wider
+    decoder variants.
+
+    Derivation: with output y[2i+a, 2j+b], the dilated input is nonzero only
+    at odd offsets, so each output phase (a, b) sees a fixed subset of the
+    3x3 taps: (0,0)->{w[1,1]}, (0,1)->{w[1,0], w[1,2]}, (1,0)->{w[0,1],
+    w[2,1]}, (1,1)->{w[0,0], w[0,2], w[2,0], w[2,2]} — a 2x2 stencil over
+    x[i..i+1, j..j+1].  ``w`` is this framework's pre-flipped HWIO kernel.
+    """
+    assert w.shape[0] == 3 and w.shape[1] == 3, "specialized to k=3"
+    ci, co = int(w.shape[2]), int(w.shape[3])
+    wz = jnp.zeros((ci, co), w.dtype)
+
+    def k2(dy_dx_taps):
+        # build a (2, 2, ci, co) sub-kernel from {(dy, dx): w[u, v]} taps
+        rows = []
+        for dy in range(2):
+            cols = []
+            for dx in range(2):
+                cols.append(dy_dx_taps.get((dy, dx), wz))
+            rows.append(jnp.stack(cols))
+        return jnp.stack(rows)
+
+    phases = [
+        k2({(0, 0): w[1, 1]}),                                    # (a,b)=(0,0)
+        k2({(0, 0): w[1, 0], (0, 1): w[1, 2]}),                   # (0,1)
+        k2({(0, 0): w[0, 1], (1, 0): w[2, 1]}),                   # (1,0)
+        k2({(0, 0): w[0, 0], (0, 1): w[0, 2],
+            (1, 0): w[2, 0], (1, 1): w[2, 2]}),                   # (1,1)
+    ]
+    # pixel_shuffle channel layout: c * 4 + a * 2 + b
+    w2 = jnp.stack(phases, axis=-1)            # (2, 2, ci, co, 4)
+    w2 = w2.reshape(2, 2, ci, co * 4)
+    y = lax.conv_general_dilated(
+        x, w2.astype(x.dtype), window_strides=(1, 1),
+        padding=((0, 1), (0, 1)), dimension_numbers=_DIMSPEC,
+        preferred_element_type=_pref(x, jnp.float32),
+    ).astype(x.dtype)
+    y = pixel_shuffle(y, 2)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def batch_norm(
     x: jax.Array,
     gamma: jax.Array,

@@ -178,3 +178,18 @@ def test_init_distributions_match_torch_defaults():
     wt = tinit.tconv_weight(key, 3, 3, 16, 32)
     bound_t = 1.0 / np.sqrt(32 * 9)
     assert float(jnp.max(jnp.abs(wt))) <= bound_t
+
+
+@pytest.mark.parametrize("cin,cout", [(16, 8), (8, 4), (32, 16)])
+def test_conv_transpose2d_subpixel_equals_dilated(cin, cout):
+    """The phase-decomposed transpose conv is exactly the standard one."""
+    x = _rand(2, cin, 13, 17)
+    w = _rand(cin, cout, 3, 3)
+    b = _rand(cout)
+    xj = jnp.asarray(_to_nhwc(x))
+    wj = jnp.asarray(tconv_w_to_flipped_hwio(w))
+    bj = jnp.asarray(b)
+    a = tnn.conv_transpose2d(xj, wj, bj)
+    c = tnn.conv_transpose2d_subpixel(xj, wj, bj)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-4,
+                               atol=1e-5)
