@@ -155,6 +155,7 @@ class Engine {
     if (!wr.ok()) return false;
 
     int c = in_c_;
+    int h = in_h_, w = in_w_;  // nominal dims tracked for [connected] sizing
     std::vector<int> layer_channels;  // output channels per layer
     for (size_t i = 1; i < secs.size(); ++i) {
       const Section& s = secs[i];
@@ -178,6 +179,8 @@ class Engine {
           L.b.assign(p, p + L.filters);
         }
         c = L.filters;
+        h = (h + 2 * L.ph - L.dh * (L.kh - 1) - 1) / L.sh + 1;
+        w = (w + 2 * L.pw - L.dw * (L.kw - 1) - 1) / L.sw + 1;
       } else if (s.name == "transposedconv") {
         L.filters = s.geti("filters", 0);
         parse_pair(s.gets("size", "3"), &L.kh, &L.kw);
@@ -195,6 +198,8 @@ class Engine {
           L.b.assign(p, p + L.filters);
         }
         c = L.filters;
+        h = (h - 1) * L.sh - 2 * L.ph + L.kh + L.outpad;
+        w = (w - 1) * L.sw - 2 * L.pw + L.kw + L.outpad;
       } else if (s.name == "batchnorm") {
         for (auto* v : {&L.bn_g, &L.bn_b, &L.bn_m, &L.bn_v}) {
           const float* p = wr.take(c);
@@ -210,14 +215,22 @@ class Engine {
       } else if (s.name == "maxpool" || s.name == "avgpool") {
         L.pool_k = s.geti("size", 2);
         L.pool_s = s.geti("stride", L.pool_k);
+        h = (h - L.pool_k) / L.pool_s + 1;
+        w = (w - L.pool_k) / L.pool_s + 1;
       } else if (s.name == "pixelshuffle") {
         L.ps_factor = s.geti("factor", 2);
         c = c / (L.ps_factor * L.ps_factor);
+        h *= L.ps_factor;
+        w *= L.ps_factor;
       } else if (s.name == "connected") {
         L.fc_out = s.geti("outputs", 0);
-        // fc input length is resolved at forward time; weights are (out, in)
+        // weight is (out, in); `inputs` defaults to the flattened c*h*w at
+        // the cfg's nominal dims. forward() re-validates against the actual
+        // input so a size mismatch fails cleanly instead of overreading.
         L.has_bias = true;
-        size_t n = static_cast<size_t>(L.fc_out) * s.geti("inputs", c);
+        int in_len = s.geti("inputs", c * h * w);
+        if (L.fc_out <= 0 || in_len <= 0) return false;
+        size_t n = static_cast<size_t>(L.fc_out) * in_len;
         const float* p = wr.take(n);
         if (!p) return false;
         L.w.assign(p, p + n);
@@ -225,6 +238,8 @@ class Engine {
         if (!p) return false;
         L.b.assign(p, p + L.fc_out);
         c = L.fc_out;
+        h = 1;
+        w = 1;
       } else if (s.name == "softmax") {
         // no params
       } else {
@@ -294,6 +309,12 @@ class Engine {
         pixel_shuffle(x, L.ps_factor, &y);
       } else if (L.kind == "connected") {
         int in_len = x.c * x.h * x.w;
+        if (static_cast<size_t>(in_len) * L.fc_out != L.w.size()) {
+          std::fprintf(stderr,
+                       "robocup_engine: [connected] input %d != weights/%d\n",
+                       in_len, L.fc_out);
+          return false;
+        }
         y.resize(L.fc_out, 1, 1);
         for (int o = 0; o < L.fc_out; ++o) {
           const float* wrow = L.w.data() + static_cast<size_t>(o) * in_len;

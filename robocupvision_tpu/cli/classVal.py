@@ -30,12 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
 class _ComboModel:
     """DownSampler encoder + Classifier head as one model handle.
 
-    classVal.py:130-134 classifies from the encoder's second feature (f3)."""
+    classVal.py:130-134 classifies from the encoder's second feature (f3).
+    The reference's dropout argument there is stale (its DownSampler takes
+    none — SURVEY §2.1), so there is no dropout here either."""
 
-    def __init__(self, num_feat: int, num_classes: int, dropout: float):
+    def __init__(self, num_feat: int, num_classes: int):
         from robocupvision_tpu.models import zoo
 
-        self.down = zoo.make("downsampler", planes=num_feat, dropout=dropout)
+        self.down = zoo.make("downsampler", planes=num_feat)
         self.head = zoo.make("classifier", in_planes=num_feat * 2,
                              num_classes=num_classes, pool_size=4)
         self.family = "downsampler+classifier"
@@ -99,7 +101,7 @@ def main(argv=None) -> int:
                          num_classes=num_classes)
         save_path = "pth/bestModelHess" + ("MC" if opt.hessMC else "L") + ".pth"
     else:
-        model = _ComboModel(32, num_classes, dropout=0.25)
+        model = _ComboModel(32, num_classes)
         save_path = "pth/bestModelB.pth"
 
     cfg = StepCfg(num_classes=num_classes, loss="ce", augment=True,

@@ -4,6 +4,11 @@ Reproduces pruner.py:16-295: loads the finetuned legacy checkpoint; runs 10
 iterations of { reload best -> pruneModel2 at (iter+1)*8% with size-adaptive
 thresholds -> cosine-annealed SGD masked-gradient finetune for (iter+1)*10
 epochs }, saving pth/bestModelSeg{...}FinetunedPruned2.pth on best val loss.
+
+Intentional deviation: class weights use the boolean keep-filter
+(weights[classIndices == 1]) like every other entry point. The reference's
+pruner.py:125 gathers by the 0/1 *values* (weights[classIndices]) — an
+apparent typo yielding near-uniform weights; see PARITY.md deviations.
 """
 
 from __future__ import annotations

@@ -99,10 +99,7 @@ def main(argv=None) -> int:
     scale = 2 if opt.noScale else 4
     lab_size = (480 // scale, 640 // scale)
     out_size = 1.0 / (lab_size[0] * lab_size[1])
-    epochs = opt.epochs if opt.epochs is not None else \
-        (200 if finetune else (100 if opt.noScale else 100))
-    if not finetune and not opt.noScale:
-        epochs = opt.epochs if opt.epochs is not None else 100
+    epochs = opt.epochs if opt.epochs is not None else (200 if finetune else 100)
     batch_size = opt.batchSize if opt.batchSize is not None else \
         (16 if finetune else (32 if opt.noScale else 64))
 

@@ -93,7 +93,7 @@ def pb_fcn_sections(planes: int = 32, num_classes: int = 5,
     """PB-FCN deployment graph; matches the layout of weights/net.cfg
     (QVGA) and weightsVGA/net.cfg (VGA) for the default planes=32."""
     h, w = (480, 640) if no_scale else (120, 160)
-    downscale = 2 if no_scale else 4
+    downscale = 4  # both reference cfgs use 4 (weights/net.cfg, weightsVGA/net.cfg)
     p = planes
     secs: List[Section] = [("net", dict(height=h, width=w, channels=3,
                                         downscale=downscale))]
@@ -299,9 +299,17 @@ def run_cfg(sections: List[Section], flat_weights: np.ndarray, x: np.ndarray,
             cin = int(h.shape[-1])
         elif name == "connected":
             co = int(kv["outputs"])
-            w = r.take(co, cin)
+            n_batch = int(h.shape[0])
+            # darknet FC flattens the whole activation in NCHW order (the
+            # engine's semantics); output is (N, 1, 1, outputs)
+            flat = jnp.transpose(h, (0, 3, 1, 2)).reshape(n_batch, -1)
+            in_len = int(kv.get("inputs", flat.shape[1]))
+            if in_len != flat.shape[1]:
+                raise ValueError(f"[connected] inputs={in_len} != {flat.shape[1]}")
+            w = r.take(co, in_len)
             b = r.take(co)
-            h = nn.linear(h, jnp.asarray(w.T), jnp.asarray(b))
+            h = nn.linear(flat, jnp.asarray(w.T), jnp.asarray(b))
+            h = h.reshape(n_batch, 1, 1, co)
             cin = co
         elif name == "softmax":
             h = nn.softmax(h, axis=-1)

@@ -151,10 +151,37 @@ def tconv(p: Params, name: str, x, stride=2, padding=1, output_padding=1):
                                output_padding=output_padding)
 
 
+import contextvars
+
+# Ambient per-sample validity mask for BatchNorm statistics. The train step
+# sets this (to the traced sample_mask) around model.apply so padded batch
+# slots are excluded from batch stats without threading a mask parameter
+# through every model signature. Trace-time capture only — the mask is always
+# an argument of the enclosing jit, never a baked-in constant.
+_BN_SAMPLE_MASK: contextvars.ContextVar = contextvars.ContextVar(
+    "bn_sample_mask", default=None)
+
+
+def bn_stats_mask(mask):
+    """Context manager: exclude masked-out samples from BN batch statistics."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        token = _BN_SAMPLE_MASK.set(mask)
+        try:
+            yield
+        finally:
+            _BN_SAMPLE_MASK.reset(token)
+
+    return _cm()
+
+
 def bn(p: Params, mut: Params, name: str, x, train: bool):
     y, rm, rv = nn.batch_norm(
         x, p[name + ".weight"], p[name + ".bias"],
         p[name + ".running_mean"], p[name + ".running_var"], train=train,
+        sample_mask=_BN_SAMPLE_MASK.get() if train else None,
     )
     if train:
         mut[name + ".running_mean"] = rm

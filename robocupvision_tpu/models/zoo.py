@@ -45,9 +45,10 @@ Params = Dict[str, jax.Array]
 
 @dataclasses.dataclass(frozen=True)
 class DownSamplerCfg:
+    # NOTE: no dropout field — classVal.py:60 passes a dropout arg to a
+    # 2-arg DownSampler (stale call, SURVEY §2.1); the module never had one.
     planes: int = 32
     no_scale: bool = False
-    dropout: float = 0.0  # classVal.py:60 passes one; harmless when 0
 
 
 def downsampler_registry(cfg: DownSamplerCfg, r: L.Registry, prefix: str = "") -> None:

@@ -187,11 +187,17 @@ def batch_norm(
     train: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    sample_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """BatchNorm2d over the channel (last) axis with torch semantics.
 
     Returns (y, new_running_mean, new_running_var). In eval mode the running
     stats are returned unchanged. Statistics are always computed in f32.
+
+    ``sample_mask`` (N,) excludes padded batch slots from the statistics (the
+    static-shape batching pads partial batches — see data/device_cache.py);
+    with a mask, the stats equal those the reference computes over its
+    variable-size final batch.
 
     Under a data-sharded ``jit``, the reductions below become cross-replica
     collectives automatically, i.e. multi-chip training gets synchronized
@@ -200,12 +206,23 @@ def batch_norm(
     if train:
         xf = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)  # biased
-        n = 1
-        for a in axes:
-            n *= x.shape[a]
-        unbiased = var * (n / max(n - 1, 1))
+        if sample_mask is not None:
+            m = sample_mask.astype(jnp.float32).reshape(
+                (-1,) + (1,) * (x.ndim - 1))
+            per_sample = 1
+            for a in axes[1:]:
+                per_sample *= x.shape[a]
+            n = jnp.maximum(jnp.sum(m) * per_sample, 1.0)
+            mean = jnp.sum(xf * m, axis=axes) / n
+            var = jnp.sum(jnp.square(xf) * m, axis=axes) / n - jnp.square(mean)
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        else:
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)  # biased
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            unbiased = var * (n / max(n - 1, 1))
         new_rm = (1.0 - momentum) * running_mean + momentum * mean
         new_rv = (1.0 - momentum) * running_var + momentum * unbiased
     else:

@@ -35,7 +35,10 @@ def main(argv=None) -> int:
     from robocupvision_tpu.ops.labels import colorize
     from robocupvision_tpu.train import checkpoint
 
-    fine_str = "Finetuned" if opt.finetuned else ""
+    # trainer.py saves finetuned checkpoints with the camera string inserted
+    # (pth/bestModelSegbothFinetuned.pth for the default both-cameras run)
+    seg_name = "pth/bestModelSeg" + ("bothFinetuned" if opt.finetuned else "") + ".pth"
+    lp_name = "pth/bestModelLP" + ("Finetuned" if opt.finetuned else "") + ".pth"
     ds = LPDataSet(opt.root, train=False, img_size=(120, 160),
                    finetune=opt.finetuned, len_seq=2)
     if len(ds) == 0:
@@ -45,9 +48,9 @@ def main(argv=None) -> int:
     seg = zoo.make("pb_fcn", planes=32, num_classes=5, kernel_size=1)
     lp = zoo.make("label_prop", num_classes=5, planes=32)
     seg_params = {k: jnp.asarray(v) for k, v in checkpoint.load_any(
-        "pth/bestModelSeg" + fine_str + ".pth", seg.registry).items()}
+        seg_name, seg.registry).items()}
     lp_params = {k: jnp.asarray(v) for k, v in checkpoint.load_any(
-        "pth/bestModelLP" + fine_str + ".pth", lp.registry).items()}
+        lp_name, lp.registry).items()}
 
     @jax.jit
     def infer_seg(params, x):

@@ -76,7 +76,6 @@ def make_train_step(model: Model, tx: optax.GradientTransformation, cfg: StepCfg
     or None for no masking — passed as traced args so the same executable
     serves masked and unmasked epochs when shapes match.
     """
-    nb, nr, ng, nl = cfg.mask_flags
     step = _train_step_body(model, tx, cfg, multipliers)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -93,7 +92,9 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
             # activations run bf16 (ops cast weights per-op — a fused convert);
             # master params, BN stats and the loss stay f32.
             imgs = imgs.astype(jnp.bfloat16)
-        logits, mut = model.apply(p, imgs, train=True, rng=rng)
+        with L.bn_stats_mask(mask):
+            # padded batch slots must not contaminate BN batch statistics
+            logits, mut = model.apply(p, imgs, train=True, rng=rng)
         if cfg.loss == "ce":
             logits = logits.reshape(logits.shape[0], -1)  # squeeze 1x1 spatial
         task_loss = _loss(cfg, logits, targets, mask)

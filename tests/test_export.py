@@ -120,3 +120,49 @@ def test_deployment_export_self_consistent(tmp_path, family, kwargs, in_ch):
     x = np.random.default_rng(0).standard_normal((1, 48, 64, in_ch)).astype(np.float32)
     diff = deploy.verify_deployment(d, m, params, x)
     assert diff < 1e-4
+
+
+def test_pb_fcn_vga_cfg_matches_reference_file():
+    """Generated VGA PB-FCN cfg structurally equals weightsVGA/net.cfg."""
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    ref = netcfg.parse_cfg(os.path.join(REF, "weightsVGA", "net.cfg"))
+    ours = netcfg.pb_fcn_sections(32, 5, no_scale=True)
+    assert [s[0] for s in ours] == [s[0] for s in ref]
+    for (n1, kv1), (n2, kv2) in zip(ours, ref):
+        for key in ("filters", "size", "stride", "pad", "dilation", "from",
+                    "outpad", "height", "width", "channels", "downscale"):
+            if key in kv2:
+                assert str(kv1.get(key)) == str(kv2[key]), (n1, key, kv1, kv2)
+
+
+def test_connected_spatial_input_flattens_nchw(tmp_path):
+    """[connected] on a >1x1 input: run_cfg and the engine agree on NCHW
+    flattening (review finding: they used to diverge + the engine overread)."""
+    import numpy as np
+
+    from robocupvision_tpu.export.engine import NativeEngine
+
+    rng = np.random.default_rng(0)
+    c, h, w, out = 3, 4, 5, 7
+    flat = np.concatenate([rng.standard_normal(out * c * h * w),
+                           rng.standard_normal(out)]).astype(np.float32)
+    sections = [("net", dict(height=h, width=w, channels=c, downscale=1)),
+                ("connected", dict(outputs=out))]
+    cfg_path = str(tmp_path / "net.cfg")
+    w_path = str(tmp_path / "weights.dat")
+    netcfg.write_cfg(cfg_path, sections)
+    flat.tofile(w_path)
+
+    x = rng.standard_normal((1, h, w, c)).astype(np.float32)
+    ref = np.asarray(netcfg.run_cfg(sections, flat, x)).reshape(-1)
+    eng = NativeEngine(cfg_path, w_path)
+    assert eng.weights_fully_consumed
+    got = eng.forward(np.ascontiguousarray(x[0].transpose(2, 0, 1))).reshape(-1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    # mismatched runtime input size fails cleanly instead of overreading
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        eng.forward(np.zeros((c, h + 2, w), np.float32))

@@ -205,3 +205,32 @@ def test_sharded_step_matches_single_device():
     for k in s1.params:
         np.testing.assert_allclose(np.asarray(s1.params[k]),
                                    np.asarray(s2.params[k]), rtol=2e-3, atol=2e-5)
+
+
+def test_padded_batch_does_not_contaminate_bn_stats():
+    """BN running stats after a padded batch equal those from the unpadded
+    batch alone (the review-found contamination bug)."""
+    model, _, _ = _setup()
+    tx = optim.sgd()
+    cfg = tstep.StepCfg(num_classes=5, augment=False, out_size=1.0 / (32 * 32))
+    step = tstep.make_train_step(model, tx, cfg, donate=False)
+
+    imgs, targets, _ = _batch(b=3)
+    pad = jnp.zeros((5,) + imgs.shape[1:], imgs.dtype)
+    imgs_p = jnp.concatenate([imgs, pad])
+    tgts_p = jnp.concatenate([targets, jnp.zeros((5, 32, 32), targets.dtype)])
+    mask_p = jnp.asarray(np.array([1, 1, 1, 0, 0, 0, 0, 0], np.float32))
+
+    s1 = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+    s1, _ = step(s1, imgs, targets, jnp.ones((3,), jnp.float32),
+                 jax.random.PRNGKey(1), jnp.float32(0.0), None)
+
+    s2 = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+    s2, _ = step(s2, imgs_p, tgts_p, mask_p, jax.random.PRNGKey(1),
+                 jnp.float32(0.0), None)
+
+    for k in s1.params:
+        if k.endswith((".running_mean", ".running_var")):
+            np.testing.assert_allclose(np.asarray(s2.params[k]),
+                                       np.asarray(s1.params[k]),
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
