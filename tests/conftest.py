@@ -15,6 +15,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # env var alone is overridden by the plugin
 
+# Persistent compilation cache: the suite compiles many tiny programs on a
+# 1-core host; caching across runs cuts wall clock substantially.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # Stub skimage (absent from this image) so the *reference* code at
 # /root/reference can be imported for cross-implementation parity tests.
 import sys  # noqa: E402
