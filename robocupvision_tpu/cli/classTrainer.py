@@ -60,7 +60,8 @@ def main(argv=None) -> int:
     batch = 64 if opt.v2 else 32
     cfg = StepCfg(num_classes=num_classes, loss="ce",
                   mask_flags=(opt.noBall, opt.noRobot, opt.noGoal, opt.noLine),
-                  augment=True, jitter=True, out_size=1.0)
+                  augment=True, augment_mode="legacy_hflip", jitter=True,
+                  out_size=1.0)
     tx = optim.sgd(momentum=0.9, weight_decay=1e-5)
     tr = Trainer(model, tx, cfg, train_cache, val_cache, batch)
     tr.init()

@@ -96,22 +96,46 @@ def main(argv=None) -> int:
     train_cache = DeviceCache.from_numpy(*train_ds.load_all())
     val_cache = DeviceCache.from_numpy(*val_ds.load_all())
 
+    save_fn = load_fn = None
     if opt.hessL or opt.hessMC:
         model = zoo.make("bnn", variant="MC" if opt.hessMC else "L",
                          num_classes=num_classes)
         save_path = "pth/bestModelHess" + ("MC" if opt.hessMC else "L") + ".pth"
     else:
         model = _ComboModel(32, num_classes)
-        save_path = "pth/bestModelB.pth"
+        save_path = "pth/bestModelB.pth"  # encoder; head goes to bestClassB
+
+        # the reference saves encoder and head as separate state dicts
+        # (classVal.py:201-202: bestModelB.pth + bestClassB.pth) — preserve
+        # that layout so files interoperate with reference-era artifacts
+        from robocupvision_tpu.train import checkpoint as ckpt
+
+        def save_fn(params):
+            down = {k[len("down."):]: v for k, v in params.items()
+                    if k.startswith("down.")}
+            head = {k[len("head."):]: v for k, v in params.items()
+                    if k.startswith("head.")}
+            ckpt.save("pth/bestModelB.pth", model.down.registry, down)
+            ckpt.save("pth/bestClassB.pth", model.head.registry, head)
+
+        def load_fn():
+            if not (ckpt.exists("pth/bestModelB.pth")
+                    and ckpt.exists("pth/bestClassB.pth")):
+                return None
+            down = ckpt.load_any("pth/bestModelB.pth", model.down.registry)
+            head = ckpt.load_any("pth/bestClassB.pth", model.head.registry)
+            return {**{"down." + k: v for k, v in down.items()},
+                    **{"head." + k: v for k, v in head.items()}}
 
     cfg = StepCfg(num_classes=num_classes, loss="ce", augment=True,
-                  jitter=True, out_size=1.0)
+                  augment_mode="legacy_hflip", jitter=True, out_size=1.0)
     tx = optim.sgd(momentum=0.9, weight_decay=5e-4)
     tr = Trainer(model, tx, cfg, train_cache, val_cache, 64)
     tr.init()
 
     best = run_plateau_training(tr, opt.epochs, 1e-2, save_path, patience=10,
-                                factor=0.2, threshold=1e-3, select="acc")
+                                factor=0.2, threshold=1e-3, select="acc",
+                                save_fn=save_fn, load_fn=load_fn)
     print("Finished: Best Validation Loss: %.4f Best Validation Acc: %.2f"
           % (best["loss"], best["acc"]))
     return 0

@@ -99,8 +99,12 @@ def main(argv=None) -> int:
         (500 if opt.finetune else 200)
     patience = 50 if opt.finetune else 20
 
+    # reference LP training flips horizontally AND vertically
+    # (labelPropTrain.py:49-66); color jitter is inapplicable to the prebuilt
+    # 8-channel (Y, Y_other, diff, one-hot) inputs, so geometry-only here.
     cfg = StepCfg(num_classes=num_classes, loss="ce2d", class_weights=cw,
-                  augment=True, jitter=False, out_size=1.0 / (h * w))
+                  augment=True, augment_mode="legacy", jitter=False,
+                  out_size=1.0 / (h * w))
     tx = optim.sgd(momentum=momentum, weight_decay=1e-3)
     tr = Trainer(model, tx, cfg, train_cache, val_cache, opt.batchSize * 2)
     tr.init()

@@ -65,7 +65,7 @@ def main(argv=None) -> int:
     save_path = "pth/bestModelHess" + ("MC" if opt.hessMC else "L") + ".pth"
 
     cfg = StepCfg(num_classes=num_classes, loss="ce", augment=True,
-                  jitter=True, out_size=1.0)
+                  augment_mode="legacy_hflip", jitter=True, out_size=1.0)
     tx = optim.sgd(momentum=0.9, weight_decay=5e-4)
     tr = Trainer(model, tx, cfg, train_cache, val_cache, 64)
     tr.init()

@@ -92,7 +92,7 @@ def main(argv=None) -> int:
 
     cfg = StepCfg(num_classes=num_classes, loss="ce2d", class_weights=cw,
                   mask_flags=(opt.noBall, opt.noRobot, opt.noGoal, opt.noLine),
-                  augment=True, out_size=1.0 / (h * w))
+                  augment=True, augment_mode="legacy", out_size=1.0 / (h * w))
 
     final_best = {}
     for it in range(opt.iters):

@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import zlib
 
 import numpy as np
 
@@ -118,7 +119,7 @@ def main(argv=None) -> int:
         sections = [("net", dict(height=h, width=w, channels=cin, downscale=1))]
         sections += layer_secs
         flat = _weights_for(sections, cin, np.random.default_rng(
-            abs(hash(name)) % 2 ** 31))
+            zlib.crc32(name.encode())))  # stable across processes (str hash is salted)
         x = data_f if name == "FC" else data_c1
 
         netcfg.write_cfg(os.path.join(opt.out, name + ".cfg"), sections)

@@ -112,7 +112,7 @@ def main(argv=None) -> int:
 
     cfg = StepCfg(num_classes=num_classes, loss="ce2d", class_weights=cw,
                   mask_flags=(opt.noBall, opt.noRobot, opt.noGoal, opt.noLine),
-                  augment=True, out_size=1.0 / (h * w))
+                  augment=True, augment_mode="legacy", out_size=1.0 / (h * w))
     tx = optim.sgd(momentum=momentum, weight_decay=1e-3)
     tr = Trainer(model, tx, cfg, train_cache, val_cache, batch)
     tr.set_params(params)

@@ -61,21 +61,41 @@ class StreamingBatches:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+        error: list = []
+
+        def _put(item) -> bool:
+            # bounded put that gives up if the consumer abandoned the iterator
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self._host_batches():
                     put = (lambda a: jax.device_put(a, self.sharding)) \
                         if self.sharding is not None else jax.device_put
-                    q.put(tuple(put(jnp.asarray(a)) for a in batch))
+                    if not _put(tuple(put(jnp.asarray(a)) for a in batch)):
+                        return
+            except BaseException as e:  # surface dataset errors, don't truncate
+                error.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join()
+            if error:
+                raise error[0]

@@ -26,7 +26,8 @@ def export_deployment(path: str, model: Model, params: Dict[str, np.ndarray],
         cfg = model.cfg
         if cfg.classify:
             raise ValueError("export the segmentation head, not the classifier")
-        secs = netcfg.pb_fcn_sections(cfg.planes, cfg.num_classes, cfg.no_scale)
+        secs = netcfg.pb_fcn_sections(cfg.planes, cfg.num_classes,
+                                      cfg.no_scale, cfg.kernel_size)
         skip = ("classifier.",)
     elif fam == "label_prop":
         secs = netcfg.label_prop_sections(model.cfg.planes, model.cfg.num_classes)

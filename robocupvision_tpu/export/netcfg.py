@@ -89,7 +89,7 @@ def _shortcut(frm: int) -> Section:
 
 
 def pb_fcn_sections(planes: int = 32, num_classes: int = 5,
-                    no_scale: bool = False) -> List[Section]:
+                    no_scale: bool = False, kernel_size: int = 1) -> List[Section]:
     """PB-FCN deployment graph; matches the layout of weights/net.cfg
     (QVGA) and weightsVGA/net.cfg (VGA) for the default planes=32."""
     h, w = (480, 640) if no_scale else (120, 160)
@@ -131,7 +131,8 @@ def pb_fcn_sections(planes: int = 32, num_classes: int = 5,
         secs.append(_tconv(f))
         secs.append(_bn())
         secs.append(_shortcut(s))
-    secs.append(_conv(num_classes, 1, 1, 0, activation="linear", has_bias=1))
+    secs.append(_conv(num_classes, kernel_size, 1, kernel_size // 2,
+                      activation="linear", has_bias=1))
     secs.append(("softmax", {}))
     return secs
 
@@ -271,8 +272,9 @@ def run_cfg(sections: List[Section], flat_weights: np.ndarray, x: np.ndarray,
             k = int(kv.get("size", 3))
             wt = r.take(cin, co, k, k)
             w = np.ascontiguousarray(wt[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
-            b = r.take(co)
-            h = nn.conv_transpose2d(h, jnp.asarray(w), jnp.asarray(b),
+            b = r.take(co) if int(kv.get("hasBias", 1)) else None
+            h = nn.conv_transpose2d(h, jnp.asarray(w),
+                                    jnp.asarray(b) if b is not None else None,
                                     stride=int(kv.get("stride", 2)),
                                     padding=int(kv.get("pad", 1)),
                                     output_padding=int(kv.get("outpad", 1)))

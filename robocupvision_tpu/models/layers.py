@@ -301,13 +301,19 @@ def ult_classifier(p, name, x, pool: bool, size: int, dropout_p: float,
     return conv(p, name + ".layers.Class", x, padding=size // 2)
 
 
+def join(name: str, child: str) -> str:
+    """Module-path join tolerating an empty prefix (standalone heads keep the
+    reference's bare torch names, e.g. 'classifier.weight')."""
+    return child if not name else name + "." + child
+
+
 # Reference block: Classifier (model.py:256-267)
 def classifier_def(r: Registry, name: str, cin: int, n_class: int,
                    kernel: int = 1) -> None:
-    r.conv(name + ".classifier", cin, n_class, kernel, bias=True)
+    r.conv(join(name, "classifier"), cin, n_class, kernel, bias=True)
 
 
 def classifier(p, name, x, pool_size: int, kernel: int):
     if pool_size > 1:
         x = nn.max_pool(x, pool_size, pool_size)
-    return conv(p, name + ".classifier", x, padding=kernel // 2)
+    return conv(p, join(name, "classifier"), x, padding=kernel // 2)

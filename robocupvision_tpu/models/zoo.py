@@ -243,8 +243,10 @@ def robo_unet_get_computations(cfg: RoboUNetCfg, params: Optional[Params] = None
     def ratio(name):
         if not pruned or params is None:
             return 1.0
-        w = params[name + ".weight"]
-        return float(jnp.sum(w != 0)) / w.size
+        import numpy as np
+
+        w = np.asarray(params[name + ".weight"])  # host-side: no device ops
+        return float(np.count_nonzero(w)) / w.size
 
     comp = []
     depth = cfg.eff_depth

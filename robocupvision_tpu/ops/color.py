@@ -88,3 +88,105 @@ def augment_batch(rng: jax.Array, imgs: jax.Array, labels: jax.Array,
     """vmapped per-sample augmentation over an NHWC batch."""
     keys = jax.random.split(rng, imgs.shape[0])
     return jax.vmap(lambda k, i, l: augment_sample(k, i, l, jitter))(keys, imgs, labels)
+
+
+# ---------------------------------------------------------------------------
+# Legacy-pipeline augmentation (trainer.py:88-104): HorizontalFlip +
+# VerticalFlip + torchvision ColorJitter(0.5, 0.5, 0.4, 0.3) applied to the
+# RGB image BEFORE the YUV conversion. The legacy datasets cache
+# YUV-normalized tensors, so this inverts the (linear) normalization+YUV,
+# jitters in RGB with torchvision's formulas, and re-converts. Deviation:
+# torchvision applies the four jitter ops in a random order; here the order
+# is fixed (brightness, contrast, saturation, hue) — see PARITY.md.
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    rng_ = maxc - minc
+    s = jnp.where(maxc > 0, rng_ / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(rng_, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(rng_ > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def rgb_color_jitter(rng: jax.Array, rgb: jax.Array, b: float = 0.5,
+                     c: float = 0.5, s: float = 0.4, h: float = 0.3) -> jax.Array:
+    """torchvision-style ColorJitter on an (H, W, 3) RGB image in [0, 1]."""
+    kb, kc, ks, kh = jax.random.split(rng, 4)
+    img = rgb.astype(jnp.float32)
+    # brightness: img * U(1-b, 1+b)
+    img = jnp.clip(img * jax.random.uniform(kb, (), minval=1 - b, maxval=1 + b),
+                   0.0, 1.0)
+    # contrast: blend toward the mean of the grayscale image
+    gray_w = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    f = jax.random.uniform(kc, (), minval=1 - c, maxval=1 + c)
+    mean_gray = jnp.mean(img @ gray_w)
+    img = jnp.clip(f * img + (1 - f) * mean_gray, 0.0, 1.0)
+    # saturation: blend toward per-pixel grayscale
+    f = jax.random.uniform(ks, (), minval=1 - s, maxval=1 + s)
+    gray = (img @ gray_w)[..., None]
+    img = jnp.clip(f * img + (1 - f) * gray, 0.0, 1.0)
+    # hue: shift the HSV hue channel by U(-h, h) (torchvision units: turns)
+    shift = jax.random.uniform(kh, (), minval=-h, maxval=h)
+    hh, ss, vv = _rgb_to_hsv(img)
+    img = _hsv_to_rgb((hh + shift) % 1.0, ss, vv)
+    return jnp.clip(img, 0.0, 1.0).astype(rgb.dtype)
+
+
+def legacy_augment_sample(rng: jax.Array, img: jax.Array, label: jax.Array,
+                          jitter: bool = True, use_vflip: bool = True
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Legacy-stack augmentation of one YUV-normalized (H, W, 3) image:
+    0.5-prob horizontal (and optionally vertical) flips applied to image and
+    label, then ColorJitter(0.5, 0.5, 0.4, 0.3) in RGB space.
+    classTrainer's stack has no vertical flip (classTrainer.py:55-62)."""
+    kh_, kv_, kj = jax.random.split(rng, 3)
+    hflip = jax.random.uniform(kh_, ()) < 0.5
+    img = jnp.where(hflip, img[:, ::-1, :], img)
+    label = jnp.where(hflip, label[:, ::-1], label)
+    if use_vflip:
+        vflip = jax.random.uniform(kv_, ()) < 0.5
+        img = jnp.where(vflip, img[::-1, :, :], img)
+        label = jnp.where(vflip, label[::-1, :], label)
+    if jitter:
+        # invert Normalize([.5,0,0],[.5,.5,.5]) and the BT.601 YUV transform
+        yuv = img * 0.5 + jnp.array([0.5, 0.0, 0.0], img.dtype)
+        rgb = jnp.clip(jnp.einsum("...c,dc->...d", yuv.astype(jnp.float32),
+                                  RGB_FROM_YUV), 0.0, 1.0)
+        rgb = rgb_color_jitter(kj, rgb)
+        yuv = rgb_to_yuv(rgb)
+        img = ((yuv - jnp.array([0.5, 0.0, 0.0], yuv.dtype)) / 0.5).astype(img.dtype)
+    return img, label
+
+
+def legacy_augment_batch(rng: jax.Array, imgs: jax.Array, labels: jax.Array,
+                         jitter: bool = True, use_vflip: bool = True
+                         ) -> Tuple[jax.Array, jax.Array]:
+    keys = jax.random.split(rng, imgs.shape[0])
+    return jax.vmap(lambda k, i, l: legacy_augment_sample(
+        k, i, l, jitter, use_vflip))(keys, imgs, labels)

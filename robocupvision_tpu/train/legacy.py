@@ -30,12 +30,22 @@ def run_plateau_training(
     prune_masks: Optional[Dict[str, np.ndarray]] = None,
     on_best: Optional[Callable[[Dict], None]] = None,
     label: str = "",
+    save_fn: Optional[Callable[[Dict], None]] = None,
+    load_fn: Optional[Callable[[], Optional[Dict]]] = None,
 ) -> Dict:
-    """Runs the epoch loop; returns the best validation metrics dict."""
+    """Runs the epoch loop; returns the best validation metrics dict.
+
+    ``save_fn(params)`` / ``load_fn() -> params|None`` override the default
+    single-file checkpointing (classVal writes the reference's two-file
+    bestModelB/bestClassB layout through these)."""
 
     def rollback():
         print("Best Model reloaded")
-        if checkpoint.exists(save_path):
+        if load_fn is not None:
+            params = load_fn()
+            if params is not None:
+                tr.set_params(params, reset_opt=False)
+        elif checkpoint.exists(save_path):
             tr.set_params(checkpoint.load_any(save_path, tr.model.registry),
                           reset_opt=False)
 
@@ -64,7 +74,10 @@ def run_plateau_training(
             if "conf" in val and val["conf"] is not None:
                 print(np.array_str(np.asarray(val["conf"]), precision=2,
                                    suppress_small=True))
-            checkpoint.save(save_path, tr.model.registry, tr.params_numpy())
+            if save_fn is not None:
+                save_fn(tr.params_numpy())
+            else:
+                checkpoint.save(save_path, tr.model.registry, tr.params_numpy())
             if on_best is not None:
                 on_best(val)
         sched.step(val["loss"])

@@ -45,7 +45,12 @@ class StepCfg:
     class_weights: Tuple[float, ...] = ()
     l1_decay: float = 0.0               # train.py:52-54 manual L1 term
     mask_flags: Tuple[bool, bool, bool, bool] = (False, False, False, False)
-    augment: bool = True                # flip + YUV jitter on device
+    augment: bool = True                # on-device augmentation
+    augment_mode: str = "ssyuv"         # ssyuv: hflip + YUV jitter (train.py)
+                                        # legacy: hflip+vflip+RGB ColorJitter
+                                        #         (trainer.py:88-104)
+                                        # legacy_hflip: hflip+RGB ColorJitter
+                                        #         (classTrainer.py:55-62)
     jitter: bool = True
     out_size: float = 1.0               # 1/(H*W) pixel-acc normalizer
     compute_dtype: str = "float32"      # "bfloat16": bf16 fwd/bwd, f32 master
@@ -104,13 +109,24 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
         total = task_loss + reg
         return total, (mut, logits, reg)
 
+    if cfg.augment_mode == "ssyuv":
+        _augment = color.augment_batch
+    elif cfg.augment_mode == "legacy":
+        def _augment(rng, imgs, labels, jitter=True):
+            return color.legacy_augment_batch(rng, imgs, labels, jitter, True)
+    elif cfg.augment_mode == "legacy_hflip":
+        def _augment(rng, imgs, labels, jitter=True):
+            return color.legacy_augment_batch(rng, imgs, labels, jitter, False)
+    else:
+        raise ValueError(cfg.augment_mode)
+
     def step(state: TrainState, imgs, targets, sample_mask, rng, lr,
              prune_masks: Optional[Params]):
         aug_rng, drop_rng = jax.random.split(rng)
         if cfg.augment and cfg.loss != "ce":
-            imgs, targets = color.augment_batch(aug_rng, imgs, targets, cfg.jitter)
+            imgs, targets = _augment(aug_rng, imgs, targets, cfg.jitter)
         elif cfg.augment:
-            imgs, _ = color.augment_batch(
+            imgs, _ = _augment(
                 aug_rng, imgs, jnp.zeros(imgs.shape[:3], jnp.int32), cfg.jitter)
         targets = labels.mask_label(targets, nb, nr, ng, nl)
 
@@ -189,6 +205,10 @@ def make_eval_step(model: Model, cfg: StepCfg):
         if cfg.loss == "ce":
             logits = logits.reshape(logits.shape[0], -1)
         loss = _loss(cfg, logits, targets, sample_mask)
+        if cfg.l1_decay:
+            # the reference's valid() adds the L1 term too (train.py:117-124)
+            trainable, _ = L.split_params(params)
+            loss = loss + cfg.l1_decay * losses.l1_regularization(trainable)
         pred = jnp.argmax(logits, axis=-1)
         if cfg.loss == "ce":
             conf, correct = metrics.class_batch_stats(pred, targets,

@@ -108,6 +108,7 @@ def test_class_val_and_obj_det_eval(env, monkeypatch, capsys):
     rc = classVal.main(["--root", env["root"], "--epochs", "2"])
     assert rc == 0
     assert osp.exists("pth/bestModelB.pth")
+    assert osp.exists("pth/bestClassB.pth")  # two-file reference layout
 
     rc = classVal.main(["--root", env["root"], "--epochs", "1", "--hessMC"])
     assert rc == 0

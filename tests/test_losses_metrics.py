@@ -223,3 +223,33 @@ def test_pruning_strategies_match_reference():
                                    verbose=False)
     for refm, name in zip(ref_idx2, prunable):
         assert int(refm.sum()) == int(masks2[name].sum())
+
+
+def test_hsv_roundtrip_and_legacy_jitter():
+    rng = np.random.default_rng(3)
+    rgb = jnp.asarray(rng.random((8, 9, 3)), jnp.float32)
+    h, s, v = color._rgb_to_hsv(rgb)
+    back = color._hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+    # legacy augment: deterministic under the same key, shapes preserved,
+    # vflip occurs (ssyuv mode never flips vertically)
+    key = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(rng.standard_normal((8, 6, 6, 3)), jnp.float32)
+    labs = jnp.asarray(rng.integers(0, 5, (8, 6, 6)))
+    a1, l1 = color.legacy_augment_batch(key, imgs, labs)
+    a2, l2 = color.legacy_augment_batch(key, imgs, labs)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert a1.shape == imgs.shape and l1.shape == labs.shape
+    flipped_v = any(
+        np.array_equal(np.asarray(l1[i]), np.asarray(labs[i])[::-1])
+        or np.array_equal(np.asarray(l1[i]), np.asarray(labs[i])[::-1, ::-1])
+        for i in range(8))
+    assert flipped_v
+
+
+def test_rgb_color_jitter_identity_at_zero():
+    rng = np.random.default_rng(4)
+    rgb = jnp.asarray(rng.random((5, 7, 3)), jnp.float32)
+    out = color.rgb_color_jitter(jax.random.PRNGKey(1), rgb, b=0, c=0, s=0, h=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rgb), atol=1e-5)
