@@ -166,3 +166,28 @@ def test_connected_spatial_input_flattens_nchw(tmp_path):
 
     with _pytest.raises(RuntimeError):
         eng.forward(np.zeros((c, h + 2, w), np.float32))
+
+
+def test_verify_deploy_cli(tmp_path, monkeypatch, capsys):
+    import jax as _jax
+
+    m = zoo.make("label_prop", planes=8)
+    params = {k: np.asarray(v) for k, v in m.init(_jax.random.PRNGKey(0)).items()}
+    d = str(tmp_path / "lp")
+    deploy.export_deployment(d, m, params)
+
+    from robocupvision_tpu.cli import verifyDeploy
+
+    rc = verifyDeploy.main(["--dir", d, "--family", "label_prop",
+                            "--planes", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "OK" in out and "label agreement=1.000000" in out
+
+    # corrupted weights fail loudly
+    w = os.path.join(d, "weights.dat")
+    flat = np.fromfile(w, dtype="<f4")
+    flat[:-8].tofile(w)
+    rc = verifyDeploy.main(["--dir", d, "--family", "label_prop",
+                            "--planes", "8"])
+    assert rc == 1

@@ -230,3 +230,22 @@ def test_streaming_batches(data_root):
         state, out = step(state, imgs, labs, mask, jax.random.PRNGKey(1),
                           jnp.float32(1e-3), None)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_train_cli_is_deterministic(data_root, tmp_path, monkeypatch):
+    """Two identical runs produce bit-identical checkpoints (fixed seed
+    12345678, device-side shuffling, scan epochs)."""
+    from robocupvision_tpu.cli import train as cli_train
+
+    outs = []
+    for run in range(2):
+        d = tmp_path / f"run{run}"
+        d.mkdir()
+        monkeypatch.chdir(d)
+        rc = cli_train.main(["--root", data_root, "--epochs", "2",
+                             "--batchSize", "8"])
+        assert rc == 0
+        with np.load(d / "checkpoints" / "best.weights") as z:
+            outs.append({k: z[k] for k in z.files})
+    for k in outs[0]:
+        np.testing.assert_array_equal(outs[0][k], outs[1][k], err_msg=k)
