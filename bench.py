@@ -84,6 +84,32 @@ def bench_train_steps(iters: int = 50):
     return out
 
 
+def bench_scan_epoch(n: int = 512, batch: int = 64, epochs: int = 5):
+    """Whole-epoch lax.scan training throughput (images/sec) through the
+    Trainer on an HBM-cached synthetic dataset — the pipeline cli.train uses."""
+    import numpy as np
+
+    from robocupvision_tpu.data.device_cache import DeviceCache
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import optim, step as tstep
+    from robocupvision_tpu.train.loop import Trainer
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((n, 120, 160, 3)).astype(np.float32)
+    labs = rng.integers(0, 5, (n, 120, 160)).astype(np.int32)
+    cache = DeviceCache.from_numpy(imgs, labs)
+    cfg = tstep.StepCfg(num_classes=5, class_weights=(1, 10, 30, 10, 2),
+                        l1_decay=1e-6, out_size=1.0 / (120 * 160),
+                        compute_dtype="bfloat16")
+    tr = Trainer(zoo.make("robo_unet"), optim.adam(), cfg, cache, cache, batch)
+    tr.init()
+    tr.train_epoch(1e-3)  # compile
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        tr.train_epoch(1e-3)
+    return n * epochs / (time.perf_counter() - t0)
+
+
 def bench_torch_cpu_baseline(iters: int = 3):
     """The reference's own model on torch-CPU (this host), same workload:
     batch-64 QVGA fwd+bwd+Adam step. Returns steps/sec or None if the
@@ -124,6 +150,7 @@ def bench_torch_cpu_baseline(iters: int = 3):
 if __name__ == "__main__":
     fps_f32, fps_bf16, fps_b4 = bench_vga_inference()
     steps = bench_train_steps()
+    epoch_ips = bench_scan_epoch()
     torch_steps = bench_torch_cpu_baseline()
     print(json.dumps({
         "metric": "robo_unet_vga_640x480_inference_fps_per_chip",
@@ -135,6 +162,7 @@ if __name__ == "__main__":
             "fps_bf16_b4_throughput": round(fps_b4, 2),
             "train_steps_per_sec_b64_qvga_f32": round(steps["float32"], 2),
             "train_steps_per_sec_b64_qvga_bf16": round(steps["bfloat16"], 2),
+            "scan_epoch_train_imgs_per_sec_bf16": round(epoch_ips, 1),
             **({"torch_cpu_reference_steps_per_sec": round(torch_steps, 3),
                 "train_speedup_vs_torch_cpu":
                     round(steps["bfloat16"] / torch_steps, 1)}
