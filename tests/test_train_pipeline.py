@@ -249,3 +249,17 @@ def test_train_cli_is_deterministic(data_root, tmp_path, monkeypatch):
             outs.append({k: z[k] for k in z.files})
     for k in outs[0]:
         np.testing.assert_array_equal(outs[0][k], outs[1][k], err_msg=k)
+
+
+def test_train_cli_dice_and_unet_variants(data_root, tmp_path, monkeypatch):
+    """--useDice and --UNet (vanilla maxpool U-Net) train end to end."""
+    monkeypatch.chdir(tmp_path)
+    from robocupvision_tpu.cli import train as cli_train
+
+    rc = cli_train.main(["--root", data_root, "--epochs", "1",
+                         "--batchSize", "8", "--useDice"])
+    assert rc == 0
+    rc = cli_train.main(["--root", data_root, "--epochs", "1",
+                         "--batchSize", "8", "--UNet"])
+    assert rc == 0
+    assert osp.exists("checkpoints/bestUNet.weights")
