@@ -263,3 +263,25 @@ def test_train_cli_dice_and_unet_variants(data_root, tmp_path, monkeypatch):
                          "--batchSize", "8", "--UNet"])
     assert rc == 0
     assert osp.exists("checkpoints/bestUNet.weights")
+
+
+def test_train_cli_transfer_sweep(data_root, tmp_path, monkeypatch, capsys):
+    """--finetune --transfer runs the 4-level sweep with 10x-LR encoder groups
+    and writes T{n}-suffixed checkpoints that test.py's --transfer glob finds."""
+    monkeypatch.chdir(tmp_path)
+    from robocupvision_tpu.cli import test as cli_test
+    from robocupvision_tpu.cli import train as cli_train
+
+    rc = cli_train.main(["--root", data_root, "--epochs", "1", "--batchSize", "8"])
+    assert rc == 0
+    rc = cli_train.main(["--root", data_root, "--epochs", "1", "--batchSize",
+                         "8", "--finetune", "--transfer"])
+    assert rc == 0
+    for t in (1, 2, 3, 4):
+        assert osp.exists(f"checkpoints/bestFinetuneT{t}.weights"), t
+
+    rc = cli_test.main(["--root", data_root, "--batchSize", "8", "--finetune",
+                        "--transfer"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bestFinetuneT4.weights" in out and "bestFinetuneT1.weights" in out
