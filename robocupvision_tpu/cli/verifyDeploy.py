@@ -31,13 +31,11 @@ def main(argv=None) -> int:
                    help="optional checkpoint to re-export and compare against")
     p.add_argument("--planes", type=int, default=32)
     p.add_argument("--numClasses", type=int, default=5)
+    p.add_argument("--kernelSize", type=int, default=1)
     p.add_argument("--noScale", action="store_true", default=False)
     p.add_argument("--height", type=int, default=48)
     p.add_argument("--width", type=int, default=64)
     opt = p.parse_args(argv)
-
-    import jax
-    import jax.numpy as jnp
 
     from robocupvision_tpu.export import deploy, netcfg
     from robocupvision_tpu.export.engine import NativeEngine
@@ -46,10 +44,7 @@ def main(argv=None) -> int:
 
     kwargs = dict(planes=opt.planes, num_classes=opt.numClasses)
     if opt.family == "pb_fcn":
-        kwargs.update(no_scale=opt.noScale, kernel_size=1)
-    if opt.family == "label_prop":
-        kwargs.pop("num_classes")
-        kwargs.update(num_classes=opt.numClasses)
+        kwargs.update(no_scale=opt.noScale, kernel_size=opt.kernelSize)
     model = zoo.make(opt.family, **kwargs)
 
     cfg_path = os.path.join(opt.dir, "net.cfg")
@@ -85,10 +80,15 @@ def main(argv=None) -> int:
     ok = diff < 5e-3 and agree > 0.999
 
     if opt.checkpoint:
-        params = checkpoint.load_any(opt.checkpoint, model.registry)
-        d = deploy.verify_deployment(os.path.dirname(cfg_path) or ".", model,
-                                     params, x, fname=os.path.basename(dat_path))
-        print(f"artifacts vs live model: max|diff|={d:.2e}")
+        try:
+            params = checkpoint.load_any(opt.checkpoint, model.registry)
+            d = deploy.verify_deployment(opt.dir, model, params, x,
+                                         fname=os.path.basename(dat_path))
+            print(f"artifacts vs live model: max|diff|={d:.2e}")
+        except (AssertionError, KeyError, ValueError, FileNotFoundError,
+                RuntimeError) as e:
+            print(f"FAIL: checkpoint comparison ({e})")
+            ok = False
 
     print("OK" if ok else "FAIL")
     return 0 if ok else 1

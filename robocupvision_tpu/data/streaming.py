@@ -88,14 +88,19 @@ class StreamingBatches:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        completed = False
         try:
             while True:
                 item = q.get()
                 if item is sentinel:
+                    completed = True
                     break
                 yield item
         finally:
             stop.set()
             t.join()
-            if error:
+            # surface dataset errors only when the consumer actually ran the
+            # epoch to its end; a deliberate early break must not raise an
+            # error from batches it never asked for
+            if completed and error:
                 raise error[0]

@@ -49,6 +49,16 @@ def load_any(path: str, reg: Registry) -> Dict[str, np.ndarray]:
     with open(path, "rb") as f:
         head = f.read(4)
     if head[:2] == b"PK":  # zip: either our npz or a torch>=1.6 zipfile pickle
+        is_ours = False
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                is_ours = MAGIC_KEY in z
+        except Exception:
+            pass
+        if is_ours:
+            # our own format: surface shape/name mismatches directly instead
+            # of falling through to a confusing torch unpickling error
+            return _load_npz(path, reg)
         try:
             return _load_npz(path, reg)
         except Exception:
