@@ -147,11 +147,29 @@ def bench_torch_cpu_baseline(iters: int = 3):
         return None
 
 
+def analytic_gflops():
+    """Analytic forward-pass GFLOPs (reference get_computations formulas) for
+    the VGA inference graph and the QVGA train graph, so BENCH_r*.json makes
+    achieved GFLOP/s (and hence MFU drift) visible across rounds."""
+    from robocupvision_tpu.models import zoo
+
+    vga = sum(zoo.robo_unet_get_computations(
+        zoo.make("robo_unet", no_scale=True).cfg)) / 1e9
+    qvga = sum(zoo.robo_unet_get_computations(zoo.make("robo_unet").cfg)) / 1e9
+    return vga, qvga
+
+
+_V5E_BF16_PEAK_GFLOPS = 197_000.0  # TPU v5e: 197 bf16 TFLOP/s per chip
+
+
 if __name__ == "__main__":
     fps_f32, fps_bf16, fps_b4 = bench_vga_inference()
     steps = bench_train_steps()
     epoch_ips = bench_scan_epoch()
     torch_steps = bench_torch_cpu_baseline()
+    gf_vga, gf_qvga = analytic_gflops()
+    # train ~= 3x forward cost (fwd + 2x in bwd), x64 images per step
+    train_gflops = 3 * 64 * gf_qvga * steps["bfloat16"]
     print(json.dumps({
         "metric": "robo_unet_vga_640x480_inference_fps_per_chip",
         "value": round(fps_bf16, 2),
@@ -163,9 +181,18 @@ if __name__ == "__main__":
             "train_steps_per_sec_b64_qvga_f32": round(steps["float32"], 2),
             "train_steps_per_sec_b64_qvga_bf16": round(steps["bfloat16"], 2),
             "scan_epoch_train_imgs_per_sec_bf16": round(epoch_ips, 1),
+            "analytic_fwd_gflops_vga": round(gf_vga, 3),
+            "infer_bf16_b1_gflops_per_sec": round(gf_vga * fps_bf16, 1),
+            "infer_bf16_b1_mfu_pct":
+                round(100 * gf_vga * fps_bf16 / _V5E_BF16_PEAK_GFLOPS, 3),
+            "train_bf16_analytic_gflops_per_sec": round(train_gflops, 1),
+            "train_bf16_mfu_pct":
+                round(100 * train_gflops / _V5E_BF16_PEAK_GFLOPS, 3),
             **({"torch_cpu_reference_steps_per_sec": round(torch_steps, 3),
                 "train_speedup_vs_torch_cpu":
-                    round(steps["bfloat16"] / torch_steps, 1)}
+                    round(steps["bfloat16"] / torch_steps, 1),
+                "train_speedup_vs_torch_cpu_f32":
+                    round(steps["float32"] / torch_steps, 1)}
                if torch_steps else {}),
         },
     }))

@@ -95,9 +95,9 @@ def augment_batch(rng: jax.Array, imgs: jax.Array, labels: jax.Array,
 # VerticalFlip + torchvision ColorJitter(0.5, 0.5, 0.4, 0.3) applied to the
 # RGB image BEFORE the YUV conversion. The legacy datasets cache
 # YUV-normalized tensors, so this inverts the (linear) normalization+YUV,
-# jitters in RGB with torchvision's formulas, and re-converts. Deviation:
-# torchvision applies the four jitter ops in a random order; here the order
-# is fixed (brightness, contrast, saturation, hue) — see PARITY.md.
+# jitters in RGB with torchvision's formulas, and re-converts. Like
+# torchvision, the four jitter ops are applied in a random order per call
+# (ColorJitter.get_params shuffles the op list).
 # ---------------------------------------------------------------------------
 
 
@@ -135,27 +135,47 @@ def _hsv_to_rgb(h, s, v):
 
 
 def rgb_color_jitter(rng: jax.Array, rgb: jax.Array, b: float = 0.5,
-                     c: float = 0.5, s: float = 0.4, h: float = 0.3) -> jax.Array:
-    """torchvision-style ColorJitter on an (H, W, 3) RGB image in [0, 1]."""
-    kb, kc, ks, kh = jax.random.split(rng, 4)
-    img = rgb.astype(jnp.float32)
-    # brightness: img * U(1-b, 1+b)
-    img = jnp.clip(img * jax.random.uniform(kb, (), minval=1 - b, maxval=1 + b),
-                   0.0, 1.0)
-    # contrast: blend toward the mean of the grayscale image
+                     c: float = 0.5, s: float = 0.4, h: float = 0.3,
+                     order=None) -> jax.Array:
+    """torchvision-style ColorJitter on an (H, W, 3) RGB image in [0, 1].
+
+    The four ops (0 brightness, 1 contrast, 2 saturation, 3 hue) are applied
+    in a uniformly random order per call, matching torchvision's
+    ColorJitter which shuffles its op list in get_params. ``order`` pins a
+    static order (a permutation of 0..3) for testing.
+    """
+    kb, kc, ks, kh, kp = jax.random.split(rng, 5)
     gray_w = jnp.array([0.299, 0.587, 0.114], jnp.float32)
-    f = jax.random.uniform(kc, (), minval=1 - c, maxval=1 + c)
-    mean_gray = jnp.mean(img @ gray_w)
-    img = jnp.clip(f * img + (1 - f) * mean_gray, 0.0, 1.0)
-    # saturation: blend toward per-pixel grayscale
-    f = jax.random.uniform(ks, (), minval=1 - s, maxval=1 + s)
-    gray = (img @ gray_w)[..., None]
-    img = jnp.clip(f * img + (1 - f) * gray, 0.0, 1.0)
-    # hue: shift the HSV hue channel by U(-h, h) (torchvision units: turns)
+    b_f = jax.random.uniform(kb, (), minval=1 - b, maxval=1 + b)
+    c_f = jax.random.uniform(kc, (), minval=1 - c, maxval=1 + c)
+    s_f = jax.random.uniform(ks, (), minval=1 - s, maxval=1 + s)
     shift = jax.random.uniform(kh, (), minval=-h, maxval=h)
-    hh, ss, vv = _rgb_to_hsv(img)
-    img = _hsv_to_rgb((hh + shift) % 1.0, ss, vv)
-    return jnp.clip(img, 0.0, 1.0).astype(rgb.dtype)
+
+    def brightness(img):  # img * U(1-b, 1+b)
+        return jnp.clip(img * b_f, 0.0, 1.0)
+
+    def contrast(img):  # blend toward the mean of the grayscale image
+        mean_gray = jnp.mean(img @ gray_w)
+        return jnp.clip(c_f * img + (1 - c_f) * mean_gray, 0.0, 1.0)
+
+    def saturation(img):  # blend toward per-pixel grayscale
+        gray = (img @ gray_w)[..., None]
+        return jnp.clip(s_f * img + (1 - s_f) * gray, 0.0, 1.0)
+
+    def hue(img):  # shift the HSV hue channel (torchvision units: turns)
+        hh, ss, vv = _rgb_to_hsv(img)
+        return jnp.clip(_hsv_to_rgb((hh + shift) % 1.0, ss, vv), 0.0, 1.0)
+
+    ops = (brightness, contrast, saturation, hue)
+    img = rgb.astype(jnp.float32)
+    if order is not None:
+        for i in order:
+            img = ops[i](img)
+    else:
+        perm = jax.random.permutation(kp, 4)
+        img = jax.lax.fori_loop(
+            0, 4, lambda i, im: jax.lax.switch(perm[i], ops, im), img)
+    return img.astype(rgb.dtype)
 
 
 def legacy_augment_sample(rng: jax.Array, img: jax.Array, label: jax.Array,

@@ -253,3 +253,29 @@ def test_rgb_color_jitter_identity_at_zero():
     rgb = jnp.asarray(rng.random((5, 7, 3)), jnp.float32)
     out = color.rgb_color_jitter(jax.random.PRNGKey(1), rgb, b=0, c=0, s=0, h=0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(rgb), atol=1e-5)
+
+
+def test_rgb_color_jitter_random_op_order():
+    # torchvision's ColorJitter applies brightness/contrast/saturation/hue in
+    # a random order per call; pin that semantics: the random-order path must
+    # equal the explicitly-ordered path under the perm the impl derives, the
+    # order must matter, and all 24 permutations must be reachable.
+    rng = np.random.default_rng(5)
+    rgb = jnp.asarray(rng.random((6, 8, 3)), jnp.float32)
+
+    o1 = color.rgb_color_jitter(jax.random.PRNGKey(3), rgb, order=(0, 1, 2, 3))
+    o2 = color.rgb_color_jitter(jax.random.PRNGKey(3), rgb, order=(3, 2, 1, 0))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+    seen = set()
+    for seed in range(120):
+        key = jax.random.PRNGKey(seed)
+        kp = jax.random.split(key, 5)[4]
+        perm = tuple(int(i) for i in jax.random.permutation(kp, 4))
+        seen.add(perm)
+        if seed < 8:  # shuffled call == static call at the derived perm
+            got = color.rgb_color_jitter(key, rgb)
+            want = color.rgb_color_jitter(key, rgb, order=perm)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-6)
+    assert len(seen) == 24, sorted(seen)

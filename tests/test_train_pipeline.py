@@ -52,6 +52,37 @@ def test_cosine_annealing_matches_torch():
         ours.step()
 
 
+def test_step_lambda_multistep_exponential_match_torch():
+    # Torch-parity for the remaining vendored schedulers
+    # (reference lr_scheduler.py:57-177), two param groups each.
+    import torch
+
+    cases = [
+        ("StepLR", dict(step_size=7, gamma=0.3),
+         schedules.StepLR, (7, 0.3)),
+        ("MultiStepLR", dict(milestones=[3, 8, 8, 20], gamma=0.4),
+         schedules.MultiStepLR, ([3, 8, 8, 20], 0.4)),
+        ("ExponentialLR", dict(gamma=0.93),
+         schedules.ExponentialLR, (0.93,)),
+        ("LambdaLR", dict(lr_lambda=[lambda e: 1.0 / (1 + e)] * 2),
+         schedules.LambdaLR, (lambda e: 1.0 / (1 + e),)),
+    ]
+    for name, tkw, ours_cls, oargs in cases:
+        p1 = torch.nn.Parameter(torch.zeros(1))
+        p2 = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([{"params": [p1], "lr": 0.5},
+                               {"params": [p2], "lr": 0.02}])
+        ref = getattr(torch.optim.lr_scheduler, name)(opt, **tkw)
+        ours = ours_cls([0.5, 0.02], *oargs)
+        for epoch in range(30):
+            got = ours.get_lr()
+            want = [g["lr"] for g in opt.param_groups]
+            for w, g in zip(want, got):
+                assert abs(w - g) < 1e-12, (name, epoch, want, got)
+            ref.step()
+            ours.step()
+
+
 def test_reduce_on_plateau_with_rollback_cb():
     calls = []
     s = schedules.ReduceLROnPlateau(1.0, "min", factor=0.5, patience=2,
