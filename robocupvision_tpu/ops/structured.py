@@ -10,8 +10,11 @@ removed — producing a genuinely smaller network (smaller weights.dat,
 proportionally fewer MACs everywhere the belly width appears) that loads as a
 standard ROBO_UNet with a reduced ``belly_planes``.
 
-Channel importance: the L1 norm of each belly channel's incoming and
-outgoing weights (the standard Li et al. filter-pruning criterion).
+Channel importance: per-layer — each belly conv's output channels are ranked
+by that conv's own filter L1 norms (Li et al. filter pruning), and the next
+conv's input channels are sliced to match. Each layer keeps its own channel
+set (in a plain conv chain the layers' channel spaces are independent);
+the exported checkpoint format is identical — every belly width is ``keep``.
 
 Measured on a trained checkpoint (128 -> 64 belly channels, no finetuning):
 mIoU 83.2 -> 82.3; analytic 499 -> 255 MFLOPs; the C++ robot engine runs
@@ -42,54 +45,53 @@ def _belly_layer_names(cfg: RoboUNetCfg):
 
 
 def belly_channel_scores(params: Params, cfg: RoboUNetCfg) -> np.ndarray:
-    """L1 importance per belly channel, summed over every weight touching it."""
-    pb1, pb2 = _belly_layer_names(cfg)
-    k = cfg.belly_planes
-    score = np.zeros(k, np.float64)
-    for i, name in enumerate(pb1):
-        w = np.abs(np.asarray(params[name + ".conv.weight"]))  # (kh,kw,in,out)
-        score += w.sum(axis=(0, 1, 2))          # as output channel
-        if i > 0:
-            score += w.sum(axis=(0, 1, 3))      # as input channel
-    w2 = np.abs(np.asarray(params[pb2 + ".conv.weight"]))
-    score += w2.sum(axis=(0, 1, 3))             # into PB_2
-    return score
+    """Per-layer L1 importances, one row per PB_1 conv: row i ranks conv i's
+    OUTPUT channels by that conv's own filter norms. Shape
+    (n_pb1, belly_planes)."""
+    pb1, _ = _belly_layer_names(cfg)
+    return np.stack([
+        np.abs(np.asarray(params[n + ".conv.weight"])).sum(axis=(0, 1, 2))
+        for n in pb1])
 
 
 def shrink_belly(params: Params, cfg: RoboUNetCfg, keep: int
                  ) -> Tuple[Params, RoboUNetCfg, np.ndarray]:
-    """Physically remove the lowest-importance belly channels.
+    """Physically remove the lowest-importance belly channels, each layer
+    keeping its own channel set.
 
-    Returns (new params, new cfg with belly_planes=keep, kept indices in
-    ascending order). The result is a standard ROBO_UNet — it exports,
-    deploys and evaluates like any other.
+    Returns (new params, new cfg with belly_planes=keep, kept index rows —
+    shape (n_pb1, keep), row i ascending, the channels conv i keeps). The
+    result is a standard ROBO_UNet — it exports, deploys and evaluates like
+    any other.
     """
     if cfg.belly_size <= 0:
         raise ValueError("model has no belly (belly_size == 0)")
     if not (0 < keep <= cfg.belly_planes):
         raise ValueError(f"keep={keep} out of range (1..{cfg.belly_planes})")
     scores = belly_channel_scores(params, cfg)
-    kept = np.sort(np.argsort(scores)[::-1][:keep])
+    kept = np.stack([np.sort(np.argsort(row)[::-1][:keep]) for row in scores])
 
     pb1, pb2 = _belly_layer_names(cfg)
     new = dict(params)
 
-    def slice_out(name):  # conv out channels + bias + bn vectors
-        new[name + ".conv.weight"] = np.asarray(params[name + ".conv.weight"])[..., kept]
+    def slice_out(name, idx):  # conv out channels + bias + bn vectors
+        new[name + ".conv.weight"] = \
+            np.asarray(params[name + ".conv.weight"])[..., idx]
         for suffix in (".conv.bias", ".bn.weight", ".bn.bias",
                        ".bn.running_mean", ".bn.running_var"):
             key = name + suffix
             if key in params:
-                new[key] = np.asarray(params[key])[kept]
+                new[key] = np.asarray(params[key])[idx]
 
-    def slice_in(name):
-        new[name + ".conv.weight"] = np.asarray(new[name + ".conv.weight"])[:, :, kept, :]
+    def slice_in(name, idx):
+        new[name + ".conv.weight"] = \
+            np.asarray(new[name + ".conv.weight"])[:, :, idx, :]
 
     for i, name in enumerate(pb1):
-        slice_out(name)
+        slice_out(name, kept[i])
         if i > 0:
-            slice_in(name)
-    slice_in(pb2)
+            slice_in(name, kept[i - 1])
+    slice_in(pb2, kept[-1])
 
     import dataclasses
 

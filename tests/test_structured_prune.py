@@ -24,7 +24,7 @@ def test_keep_all_is_identity():
                                   belly_planes=16)
     new, new_cfg, kept = shrink_belly(params, m.cfg, 16)
     assert new_cfg.belly_planes == 16
-    np.testing.assert_array_equal(kept, np.arange(16))
+    np.testing.assert_array_equal(kept, np.tile(np.arange(16), (kept.shape[0], 1)))
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (1, 32, 32, 3)), jnp.float32)
     a, _ = m.apply({k: jnp.asarray(v) for k, v in params.items()}, x)
@@ -37,7 +37,7 @@ def test_shrunk_model_runs_and_exports(tmp_path):
     m, params = _model_and_params(planes=4, depth=3, levels=1, belly_size=3,
                                   belly_planes=16)
     new, new_cfg, kept = shrink_belly(params, m.cfg, 6)
-    assert new_cfg.belly_planes == 6 and len(kept) == 6
+    assert new_cfg.belly_planes == 6 and kept.shape[1] == 6
     nm = zoo.Model("robo_unet", new_cfg)
     assert all(new[k].shape == tuple(s.shape)
                for k, s in nm.registry.specs.items())
@@ -56,19 +56,23 @@ def test_shrunk_model_runs_and_exports(tmp_path):
     assert diff < 1e-4
 
 
-def test_scores_identify_zeroed_channels():
+def test_scores_identify_zeroed_channels_per_layer():
     m, params = _model_and_params(planes=4, depth=3, levels=1, belly_size=3,
                                   belly_planes=16)
-    # kill channels 3 and 9 everywhere
-    for name in ["PB.PB_1.layers.Conv0", "PB.PB_1.layers.Conv1"]:
-        params[name + ".conv.weight"][..., [3, 9]] = 0
-        if name.endswith("Conv1"):
-            params[name + ".conv.weight"][:, :, [3, 9], :] = 0
-    params["PB.PB_2.layers.Conv0.conv.weight"][:, :, [3, 9], :] = 0
+    # each layer has its OWN dead output channels: {3, 9} in Conv0, {1, 12}
+    # in Conv1 — per-layer ranking must drop each layer's own set
+    params["PB.PB_1.layers.Conv0.conv.weight"][..., [3, 9]] = 0
+    params["PB.PB_1.layers.Conv1.conv.weight"][..., [1, 12]] = 0
     scores = belly_channel_scores(params, m.cfg)
-    assert set(np.argsort(scores)[:2]) == {3, 9}
+    assert scores.shape == (2, 16)
+    assert set(np.argsort(scores[0])[:2]) == {3, 9}
+    assert set(np.argsort(scores[1])[:2]) == {1, 12}
     new, new_cfg, kept = shrink_belly(params, m.cfg, 14)
-    assert 3 not in kept and 9 not in kept
+    assert 3 not in kept[0] and 9 not in kept[0]
+    assert 1 not in kept[1] and 12 not in kept[1]
+    # slicing stays consistent: Conv1's inputs follow Conv0's kept set
+    assert new["PB.PB_1.layers.Conv1.conv.weight"].shape[2] == 14
+    assert new["PB.PB_2.layers.Conv0.conv.weight"].shape[2] == 14
 
 
 def test_cli_round_trip(tmp_path, monkeypatch):
