@@ -1,0 +1,100 @@
+"""Lane-packed inference graph: exact-rewrite guarantees.
+
+The packed path (models/packed.py) must be a pure performance transform:
+per-kernel scatter identity, full-model per-pixel logits parity against
+zoo.robo_unet_apply, and identical label maps.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robocupvision_tpu.models import packed, zoo
+from robocupvision_tpu.ops import nn
+
+
+@pytest.mark.parametrize("f_in,f_out,stride,k", [
+    (4, 4, 1, 3), (4, 2, 2, 3), (2, 2, 1, 3), (2, 1, 2, 3),
+    (1, 1, 1, 3), (4, 4, 1, 1), (2, 2, 1, 1),
+])
+def test_pack_conv_weight_identity(f_in, f_out, stride, k):
+    rng = np.random.default_rng(f_in * 100 + f_out * 10 + stride)
+    cin, cout = 3, 5
+    H = W = 8 * f_in
+    x = jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)), jnp.float32)
+
+    ref = nn.conv2d(x, w, stride=stride, padding=k // 2)
+    wp = packed.pack_conv_weight(np.asarray(w), f_in, f_out, stride)
+    got = nn.conv2d(packed.space_to_depth(x, f_in), jnp.asarray(wp),
+                    padding=int(wp.shape[0]) // 2)
+    want = packed.space_to_depth(ref, f_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("f_in", [1, 2])
+def test_pack_tconv_weight_identity(f_in):
+    rng = np.random.default_rng(7 + f_in)
+    cin, cout = 4, 3
+    H = W = 8 * f_in
+    x = jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
+
+    ref = nn.conv_transpose2d(x, w, stride=2, padding=1, output_padding=1)
+    wp = packed.pack_conv_weight(np.asarray(w), f_in, 2 * f_in, transpose=True)
+    got = nn.conv2d(packed.space_to_depth(x, f_in), jnp.asarray(wp), padding=1)
+    want = packed.space_to_depth(ref, 2 * f_in)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_space_to_depth_round_trip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 8, 3)), jnp.float32)
+    y = packed.depth_to_space(packed.space_to_depth(x, 4), 4)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _randomized_params(model, seed):
+    """init() params with perturbed BN running stats so the BN fold is
+    actually exercised (init gives rm=0, rv=1)."""
+    rng = np.random.default_rng(seed)
+    params = {k: np.array(v) for k, v in
+              model.init(jax.random.PRNGKey(seed)).items()}
+    for k in params:
+        if k.endswith(".running_mean"):
+            params[k] = rng.standard_normal(params[k].shape).astype(np.float32) * 0.3
+        elif k.endswith(".running_var"):
+            params[k] = (0.5 + rng.random(params[k].shape)).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in params.items()}
+
+
+@pytest.mark.parametrize("no_scale,hw", [(True, (64, 64)), (False, (32, 64))])
+def test_packed_logits_match_reference_apply(no_scale, hw):
+    model = zoo.make("robo_unet", no_scale=no_scale)
+    params = _randomized_params(model, 1 if no_scale else 2)
+    pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, *hw, 3)), jnp.float32)
+    want, _ = model.apply(params, x)
+    got = pi.logits(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+    labels = pi.infer(x)
+    np.testing.assert_array_equal(
+        np.asarray(labels), np.asarray(jnp.argmax(want, axis=-1)))
+
+
+def test_packed_rejects_unsupported_variants():
+    with pytest.raises(AssertionError):
+        m = zoo.make("robo_unet", v2=True)
+        packed.build_packed_infer(m, m.init(jax.random.PRNGKey(0)))
+    with pytest.raises(AssertionError):
+        m = zoo.make("robo_unet", pool=True)
+        packed.build_packed_infer(m, m.init(jax.random.PRNGKey(0)))
