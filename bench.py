@@ -23,16 +23,23 @@ import jax.numpy as jnp
 
 
 def _time(fn, *args, iters=100):
+    """Median of 3 timed runs — the axon tunnel occasionally produces one
+    wildly-off measurement (observed 20x-fast once), a single run is not
+    trustworthy."""
     fn(*args).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn(*args)
-    y.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+
+    def once():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fn(*args)
+        y.block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+    return sorted(once() for _ in range(3))[1]
 
 
 def bench_vga_inference():
-    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.models import packed, zoo
 
     model = zoo.make("robo_unet", no_scale=True)
     params = model.init(jax.random.PRNGKey(0))
@@ -49,7 +56,13 @@ def bench_vga_inference():
     fps_bf16 = 1.0 / _time(make_infer(jnp.bfloat16), params, x1)
     x4 = jax.random.normal(jax.random.PRNGKey(1), (4, 480, 640, 3), jnp.float32)
     fps_b4 = 4.0 / _time(make_infer(jnp.bfloat16), params, x4, iters=50)
-    return fps_f32, fps_bf16, fps_b4
+
+    # lane-packed inference graph (exact rewrite; PERF.md) — the headline
+    pi = packed.build_packed_infer(model, params, dtype=jnp.bfloat16)
+    pfn = jax.jit(pi.infer)
+    fps_packed = 1.0 / _time(pfn, x1, iters=300)
+    fps_packed_b4 = 4.0 / _time(pfn, x4, iters=100)
+    return fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4
 
 
 def bench_train_steps(iters: int = 50):
@@ -163,7 +176,7 @@ _V5E_BF16_PEAK_GFLOPS = 197_000.0  # TPU v5e: 197 bf16 TFLOP/s per chip
 
 
 if __name__ == "__main__":
-    fps_f32, fps_bf16, fps_b4 = bench_vga_inference()
+    fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4 = bench_vga_inference()
     steps = bench_train_steps()
     epoch_ips = bench_scan_epoch()
     torch_steps = bench_torch_cpu_baseline()
@@ -172,19 +185,22 @@ if __name__ == "__main__":
     train_gflops = 3 * 64 * gf_qvga * steps["bfloat16"]
     print(json.dumps({
         "metric": "robo_unet_vga_640x480_inference_fps_per_chip",
-        "value": round(fps_bf16, 2),
+        "value": round(fps_packed, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps_bf16 / 30.0, 2),
+        "vs_baseline": round(fps_packed / 30.0, 2),
         "extra": {
+            "fps_packed_bf16_b1": round(fps_packed, 2),
+            "fps_packed_bf16_b4_throughput": round(fps_packed_b4, 2),
+            "fps_bf16_b1_standard_graph": round(fps_bf16, 2),
             "fps_f32_b1": round(fps_f32, 2),
             "fps_bf16_b4_throughput": round(fps_b4, 2),
             "train_steps_per_sec_b64_qvga_f32": round(steps["float32"], 2),
             "train_steps_per_sec_b64_qvga_bf16": round(steps["bfloat16"], 2),
             "scan_epoch_train_imgs_per_sec_bf16": round(epoch_ips, 1),
             "analytic_fwd_gflops_vga": round(gf_vga, 3),
-            "infer_bf16_b1_gflops_per_sec": round(gf_vga * fps_bf16, 1),
+            "infer_bf16_b1_gflops_per_sec": round(gf_vga * fps_packed, 1),
             "infer_bf16_b1_mfu_pct":
-                round(100 * gf_vga * fps_bf16 / _V5E_BF16_PEAK_GFLOPS, 3),
+                round(100 * gf_vga * fps_packed / _V5E_BF16_PEAK_GFLOPS, 3),
             "train_bf16_analytic_gflops_per_sec": round(train_gflops, 1),
             "train_bf16_mfu_pct":
                 round(100 * train_gflops / _V5E_BF16_PEAK_GFLOPS, 3),

@@ -29,6 +29,79 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+def _conv_block_kernel(x_ref, w_ref, b_ref, scale_ref, shift_ref, out_ref,
+                       *, relu_before_bn: bool):
+    """One output row-tile of fused conv3x3(s1,p1) + bias + ReLU/BN-affine.
+
+    x_ref holds the whole zero-padded input (H+2, W+2, C) in VMEM; the nine
+    taps are static slices feeding MXU dots with f32 accumulation; the
+    epilogue applies the reference's block ordering (conv -> ReLU -> BN for
+    conv_block, conv -> BN -> ReLU for up_tconv) before the bf16 store.
+    """
+    i = pl.program_id(0)
+    tile, w_out, _ = out_ref.shape
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = x_ref[pl.ds(i * tile + dy, tile), pl.ds(dx, w_out), :]
+            t = jax.lax.dot_general(
+                xs, w_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    y = acc + b_ref[0].astype(jnp.float32)
+    scale = scale_ref[0].astype(jnp.float32)
+    shift = shift_ref[0].astype(jnp.float32)
+    if relu_before_bn:
+        y = jnp.maximum(y, 0.0) * scale + shift
+    else:
+        y = jnp.maximum(y * scale + shift, 0.0)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("relu_before_bn", "tile",
+                                             "interpret"))
+def fused_conv3x3_block(x: jax.Array, w: jax.Array, b: jax.Array,
+                        scale: jax.Array, shift: jax.Array,
+                        relu_before_bn: bool = True, tile: int = 8,
+                        interpret: bool = False) -> jax.Array:
+    """Fused conv3x3(s1,p1)+bias+ReLU+BN inference block, (1,H,W,C)->(1,H,W,Co).
+
+    The BASELINE north star names a fused conv-BN-ReLU Pallas block; this is
+    that kernel for the lane-packed inference graph's uniform k3/s1/p1 convs.
+    Measured head-to-head against XLA's convolution fusion at the packed
+    graph's shapes (v5e, bf16, steady-state 10-op chains): XLA wins —
+    40/47 us per op at C=64/128 vs 51/53 us for this kernel, and inside the
+    full graph XLA reaches 20-32 us by fusing epilogues with neighbors. An
+    im2col variant (one K=3C dot per row) hit a Mosaic lane-concat internal
+    error. The packed graph therefore keeps the XLA path; the kernel stays
+    as the measured record and as a starting point if shapes change.
+    See PERF.md.
+    """
+    n, h, ww, c = x.shape
+    assert n == 1 and h % tile == 0, (x.shape, tile)
+    co = int(w.shape[3])
+    xp = jnp.pad(x[0], ((1, 1), (1, 1), (0, 0)))
+    kernel = functools.partial(_conv_block_kernel,
+                               relu_before_bn=relu_before_bn)
+    out = pl.pallas_call(
+        kernel,
+        grid=(h // tile,),
+        in_specs=[
+            pl.BlockSpec((h + 2, ww + 2, c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, 3, c, co), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, co), lambda i: (0, 0)),
+            pl.BlockSpec((1, co), lambda i: (0, 0)),
+            pl.BlockSpec((1, co), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, ww, co), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, ww, co), x.dtype),
+        interpret=interpret,
+    )(xp, w.astype(x.dtype), b.reshape(1, co), scale.reshape(1, co),
+      shift.reshape(1, co))
+    return out[None]
+
+
 def _conf_kernel(pred_ref, tgt_ref, out_ref, *, num_classes: int):
     pred = pred_ref[0]
     tgt = tgt_ref[0]

@@ -43,3 +43,24 @@ def test_seg_batch_stats_pallas_impl_matches():
     for fa, fb in zip([a.conf, a.iou_sum, a.lab_cnts, a.correct, a.img_cnt],
                       [b.conf, b.iou_sum, b.lab_cnts, b.correct, b.img_cnt]):
         np.testing.assert_allclose(np.asarray(fa), np.asarray(fb))
+
+
+def test_fused_conv3x3_block_matches_xla():
+    from robocupvision_tpu.ops import nn
+    from robocupvision_tpu.ops.pallas_kernels import fused_conv3x3_block
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 16, 24, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    sc = jnp.asarray(rng.random(16) + 0.5, jnp.float32)
+    sh = jnp.asarray(rng.standard_normal(16), jnp.float32)
+
+    for relu_before_bn in (True, False):
+        got = fused_conv3x3_block(x, w, b, sc, sh, tile=8, interpret=True,
+                                  relu_before_bn=relu_before_bn)
+        y = nn.conv2d(x, w, padding=1) + b
+        want = (jnp.maximum(y, 0) * sc + sh if relu_before_bn
+                else jnp.maximum(y * sc + sh, 0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
