@@ -20,6 +20,10 @@ def build_parser() -> argparse.ArgumentParser:
                  "--noBall", "--noGoal", "--noRobot", "--noLine", "--topCam",
                  "--bottomCam"]:
         p.add_argument(flag, action="store_true", default=False)
+    p.add_argument("--packed", action="store_true", default=False,
+                   help="use the lane-packed inference graph (framework "
+                        "extension, ~4x faster on TPU; identical outputs — "
+                        "see PERF.md; default architecture only)")
     p.add_argument("--root", type=str,
                    default=os.environ.get("ROBOCUP_DATA", "../../Data/RoboCup"))
     return p
@@ -80,10 +84,22 @@ def main(argv=None) -> int:
     print(round(sum(comp)))
     params = {k: jnp.asarray(v) for k, v in params_np.items()}
 
-    @jax.jit
-    def infer(params, x):
-        logits, _ = model.apply(params, x, train=False)
-        return jnp.argmax(logits, axis=-1)
+    if opt.packed:
+        from robocupvision_tpu.models import packed as packed_mod
+
+        # f32: measured the same speed as bf16 on v5e (both bound by fixed
+        # costs, PERF.md) and keeps masks byte-identical to the plain path
+        pi = packed_mod.build_packed_infer(model, params_np,
+                                           dtype=jnp.float32)
+        packed_infer = jax.jit(pi.infer)
+
+        def infer(params, x):
+            return packed_infer(x)
+    else:
+        @jax.jit
+        def infer(params, x):
+            logits, _ = model.apply(params, x, train=False)
+            return jnp.argmax(logits, axis=-1)
 
     os.makedirs("output", exist_ok=True)
     print("\nPerforming object detection:")

@@ -77,3 +77,12 @@ def test_detect_cli(env, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "Detection" in out
     assert osp.exists("output/0.png")
+
+    # --packed must produce byte-identical masks (exact graph rewrite)
+    import numpy as np
+    from PIL import Image
+
+    plain = np.asarray(Image.open("output/0.png"))
+    rc = cli_detect.main(["--root", env["root"], "--packed"])
+    assert rc == 0
+    np.testing.assert_array_equal(np.asarray(Image.open("output/0.png")), plain)
