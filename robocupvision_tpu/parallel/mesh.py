@@ -65,8 +65,24 @@ def sample_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, imgs, targets, sample_mask, spatial: bool = True):
-    """Place a host batch onto the mesh with the canonical shardings."""
+    """Place a host batch onto the mesh with the canonical shardings.
+
+    Raises a clear error when H is not divisible by the spatial axis:
+    uneven spatial shards would silently degrade conv halo exchange and
+    BN-stat balance, so the caller must pad (or pick a dividing factor).
+    """
     sd = 1 if spatial else None
+    n_sp = mesh.shape["spatial"]
+    if spatial and imgs.shape[1] % n_sp != 0:
+        raise ValueError(
+            f"image height {imgs.shape[1]} is not divisible by the mesh "
+            f"spatial axis ({n_sp}); pad H to a multiple of {n_sp} or use "
+            f"spatial=False / a smaller spatial factor")
+    if imgs.shape[0] % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"batch {imgs.shape[0]} is not divisible by the mesh data axis "
+            f"({mesh.shape['data']}); pad the batch (sample_mask marks pad "
+            f"rows) to a multiple of it")
     imgs = jax.device_put(imgs, batch_sharding(mesh, sd))
     targets = jax.device_put(targets, label_sharding(mesh, sd))
     sample_mask = jax.device_put(sample_mask, sample_sharding(mesh))
