@@ -66,6 +66,8 @@ def bench_vga_inference():
 
 
 def bench_train_steps(iters: int = 50):
+    import dataclasses
+
     from robocupvision_tpu.models import zoo
     from robocupvision_tpu.train import optim, step as tstep
 
@@ -77,23 +79,35 @@ def bench_train_steps(iters: int = 50):
     mask = jnp.ones((b,), jnp.float32)
     lr = jnp.float32(1e-3)
 
-    out = {}
-    for dtype in ("float32", "bfloat16"):
-        cfg = tstep.StepCfg(num_classes=5, class_weights=(1, 10, 30, 10, 2),
-                            l1_decay=1e-6, out_size=1.0 / (120 * 160),
-                            compute_dtype=dtype)
+    def measure(cfg):
         train_step = tstep.make_train_step(model, tx, cfg)
         state = tstep.init_state(model, tx, jax.random.PRNGKey(0))
         state, _ = train_step(state, imgs, targets, mask, jax.random.PRNGKey(2),
                               lr, None)
         jax.block_until_ready(state.params)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, m = train_step(state, imgs, targets, mask,
-                                  jax.random.fold_in(jax.random.PRNGKey(3), i),
-                                  lr, None)
-        jax.block_until_ready(state.params)
-        out[dtype] = iters / (time.perf_counter() - t0)
+
+        def once():
+            nonlocal state
+            t0 = time.perf_counter()
+            for i in range(iters):
+                state, m = train_step(state, imgs, targets, mask,
+                                      jax.random.fold_in(jax.random.PRNGKey(3), i),
+                                      lr, None)
+            jax.block_until_ready(state.params)
+            return iters / (time.perf_counter() - t0)
+
+        return sorted(once() for _ in range(3))[1]
+
+    out = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = tstep.StepCfg(num_classes=5, class_weights=(1, 10, 30, 10, 2),
+                            l1_decay=1e-6, out_size=1.0 / (120 * 160),
+                            compute_dtype=dtype)
+        out[dtype] = measure(cfg)
+        # lane-packed training graph (exact rewrite; models/packed.py)
+        out[dtype + "_packed"] = measure(dataclasses.replace(cfg, packed=True))
+    # the fastest exact path is the headline train configuration
+    out["best"] = max(out.values())
     return out
 
 
@@ -121,6 +135,53 @@ def bench_scan_epoch(n: int = 512, batch: int = 64, epochs: int = 5):
     for _ in range(epochs):
         tr.train_epoch(1e-3)
     return n * epochs / (time.perf_counter() - t0)
+
+
+def bench_streamed_epoch(n: int = 512, batch: int = 64, epochs: int = 3):
+    """Streamed training (prefetching host pipeline, data/streaming.py) vs
+    the same per-step path fed from the HBM cache — the big-dataset story.
+    The host dataset pays a realistic per-item decode cost (uint8 ->
+    normalized f32). Returns (streamed_ips, cached_ips)."""
+    import numpy as np
+
+    from robocupvision_tpu.data.device_cache import DeviceCache
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import optim, step as tstep
+    from robocupvision_tpu.train.loop import Trainer
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (n, 120, 160, 3), np.uint8)
+    labs = rng.integers(0, 5, (n, 120, 160)).astype(np.int32)
+    mean = np.float32(127.5)
+
+    class HostDataset:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            return ((raw[i].astype(np.float32) - mean) / mean, labs[i])
+
+    ds = HostDataset()
+    cfg = tstep.StepCfg(num_classes=5, class_weights=(1, 10, 30, 10, 2),
+                        l1_decay=1e-6, out_size=1.0 / (120 * 160),
+                        compute_dtype="bfloat16")
+    tr = Trainer(zoo.make("robo_unet"), optim.adam(), cfg, None, None, batch,
+                 scan_epochs=False)
+    tr.init()
+    tr.train_epoch_streamed(1e-3, ds)  # compile
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        tr.train_epoch_streamed(1e-3, ds)
+    streamed = n * epochs / (time.perf_counter() - t0)
+
+    imgs_f32 = np.stack([ds[i][0] for i in range(n)])
+    tr.train_cache = DeviceCache.from_numpy(imgs_f32, labs)
+    tr.train_epoch(1e-3)  # compile/warm
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        tr.train_epoch(1e-3)
+    cached = n * epochs / (time.perf_counter() - t0)
+    return streamed, cached
 
 
 def bench_torch_cpu_baseline(iters: int = 3):
@@ -179,10 +240,11 @@ if __name__ == "__main__":
     fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4 = bench_vga_inference()
     steps = bench_train_steps()
     epoch_ips = bench_scan_epoch()
+    streamed_ips, cached_ips = bench_streamed_epoch()
     torch_steps = bench_torch_cpu_baseline()
     gf_vga, gf_qvga = analytic_gflops()
     # train ~= 3x forward cost (fwd + 2x in bwd), x64 images per step
-    train_gflops = 3 * 64 * gf_qvga * steps["bfloat16"]
+    train_gflops = 3 * 64 * gf_qvga * steps["best"]
     print(json.dumps({
         "metric": "robo_unet_vga_640x480_inference_fps_per_chip",
         "value": round(fps_packed, 2),
@@ -196,7 +258,15 @@ if __name__ == "__main__":
             "fps_bf16_b4_throughput": round(fps_b4, 2),
             "train_steps_per_sec_b64_qvga_f32": round(steps["float32"], 2),
             "train_steps_per_sec_b64_qvga_bf16": round(steps["bfloat16"], 2),
+            "train_steps_per_sec_b64_qvga_f32_packed":
+                round(steps["float32_packed"], 2),
+            "train_steps_per_sec_b64_qvga_bf16_packed":
+                round(steps["bfloat16_packed"], 2),
+            "train_steps_per_sec_b64_qvga_best": round(steps["best"], 2),
             "scan_epoch_train_imgs_per_sec_bf16": round(epoch_ips, 1),
+            "streamed_train_imgs_per_sec_bf16": round(streamed_ips, 1),
+            "streamed_vs_cached_per_step_pct":
+                round(100 * streamed_ips / cached_ips, 1),
             "analytic_fwd_gflops_vga": round(gf_vga, 3),
             "infer_bf16_b1_gflops_per_sec": round(gf_vga * fps_packed, 1),
             "infer_bf16_b1_mfu_pct":
@@ -206,9 +276,10 @@ if __name__ == "__main__":
                 round(100 * train_gflops / _V5E_BF16_PEAK_GFLOPS, 3),
             **({"torch_cpu_reference_steps_per_sec": round(torch_steps, 3),
                 "train_speedup_vs_torch_cpu":
-                    round(steps["bfloat16"] / torch_steps, 1),
+                    round(steps["best"] / torch_steps, 1),
                 "train_speedup_vs_torch_cpu_f32":
-                    round(steps["float32"] / torch_steps, 1)}
+                    round(max(steps["float32"], steps["float32_packed"])
+                          / torch_steps, 1)}
                if torch_steps else {}),
         },
     }))

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batchSize", type=int, default=None)
     p.add_argument("--bf16", help="bfloat16 compute (f32 master weights)",
                    action="store_true", default=False)
+    p.add_argument("--labSize", help="Override working resolution H W "
+                   "(testing aid; the reference sizes are the default)",
+                   type=int, nargs=2, default=None)
     return p
 
 
@@ -69,7 +72,7 @@ def main(argv=None) -> int:
         camera = "both"
 
     scale = 2 if opt.noScale else 4
-    lab_size = (480 // scale, 640 // scale)
+    lab_size = tuple(opt.labSize) if opt.labSize else (480 // scale, 640 // scale)
     out_size = 1.0 / (lab_size[0] * lab_size[1])
     thresholds = [0.75, 0.5, 0.25, 0.1, 0.05]
     d_thresholds = [1.25, 2.5, 5, 10, 20]

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial", help="Spatial mesh axis size", type=int, default=1)
     p.add_argument("--bf16", help="bfloat16 compute (f32 master weights)",
                    action="store_true", default=False)
+    p.add_argument("--labSize", help="Override working resolution H W "
+                   "(testing aid; the reference sizes are the default)",
+                   type=int, nargs=2, default=None)
     return p
 
 
@@ -97,7 +100,7 @@ def main(argv=None) -> int:
     decays = [10 * dec, 5 * dec, 2 * dec, dec] if (finetune and not opt.transfer) else [dec]
 
     scale = 2 if opt.noScale else 4
-    lab_size = (480 // scale, 640 // scale)
+    lab_size = tuple(opt.labSize) if opt.labSize else (480 // scale, 640 // scale)
     out_size = 1.0 / (lab_size[0] * lab_size[1])
     epochs = opt.epochs if opt.epochs is not None else (200 if finetune else 100)
     batch_size = opt.batchSize if opt.batchSize is not None else \

@@ -249,6 +249,173 @@ class PackedInfer:
         return nn.conv2d(up, w, self.packed["segmenter.b"], padding=0)
 
 
+# ---- packed TRAINING graph --------------------------------------------------
+#
+# The same exact rewrite, made differentiable: packed kernels are a *gather*
+# of the original weights (each packed position reads one original weight or
+# a structural zero), built inside the jitted step, so autodiff scatter-adds
+# gradients back onto the original parameter tensors and the TrainState /
+# checkpoints / optimizer / pruning masks stay in the canonical format.
+# BatchNorm runs in true training mode with phase-grouped statistics: the
+# packed activation (N, Hp, Wp, f^2*C) is viewed as (N, Hp, Wp, f^2, C) and
+# nn.batch_norm reduces over every axis but the last — per *original*
+# channel, over the identical set of values as the unpacked graph, so batch
+# stats, normalization and running-stat updates are all exact (up to float
+# reassociation). See tests/test_packed_infer.py::test_packed_train_step_*.
+
+
+def _gather_index_map(shape, packer) -> np.ndarray:
+    """Index map: packed kernel position -> flat original-weight index, with
+    ``prod(shape)`` as the structural-zero sentinel (one zero is appended to
+    the flattened weight at gather time)."""
+    n = int(np.prod(shape))
+    ids = np.arange(1, n + 1, dtype=np.int64).reshape(shape)
+    packed = packer(ids)
+    idx = packed - 1
+    return np.where(idx < 0, n, idx).astype(np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class PackMaps:
+    """Gather maps + tile factors for the packed-training forward."""
+
+    cfg: RoboUNetCfg
+    idx: Dict[str, np.ndarray]    # conv name -> packed-kernel gather map
+    tile: Dict[str, int]          # conv name -> f_out^2 per-channel tiling
+
+
+def build_train_pack_maps(model: Model) -> PackMaps:
+    """Precompute (once, host-side) the gather maps for a ROBO-UNet config.
+
+    Same supported family as build_packed_infer: pool=False, v2=False,
+    levels=2, belly_size>0, class_size=1, eff_depth>=4."""
+    cfg = model.cfg
+    assert isinstance(cfg, RoboUNetCfg), "packed training is ROBO-UNet only"
+    assert not cfg.pool and not cfg.v2, "pool/v2 variants not packed (yet)"
+    assert cfg.levels == 2 and cfg.belly_size > 0 and cfg.class_size == 1
+    assert cfg.eff_depth >= 4
+
+    shapes = {k: s.shape for k, s in model.registry.specs.items()}
+    idx: Dict[str, np.ndarray] = {}
+    tile: Dict[str, int] = {}
+
+    def add(name, packer, f_out):
+        idx[name] = _gather_index_map(shapes[name + ".conv.weight"], packer)
+        tile[name] = f_out * f_out
+
+    add("downPart.Level0.layers.Conv0",
+        lambda w: pack_stem_weight_grouped(w, 4), 4)
+    add("downPart.Level1.layers.Conv0",
+        lambda w: pack_conv_weight(w, 4, 2, 2), 2)
+    add("downPart.Level1.layers.Conv1",
+        lambda w: pack_conv_weight(w, 2, 2, 1), 2)
+    add("downPart.Level2.layers.Conv0",
+        lambda w: pack_conv_weight(w, 2, 1, 2), 1)
+    D = cfg.eff_depth
+    for j in range(D - 1):
+        r = D - 2 - j
+        if _f_at(r) > 1:
+            add(f"upPart.Up{j}",
+                lambda w, fi=_f_at(r + 1), fo=_f_at(r):
+                    pack_conv_weight(w, fi, fo, transpose=True), _f_at(r))
+    name = "segmenter.layers.Class"
+    idx[name] = _gather_index_map(shapes[name + ".weight"],
+                                  lambda w: pack_conv_weight(w, 4, 4, 1))
+    tile[name] = 16
+    return PackMaps(cfg, idx, tile)
+
+
+def _gather_weight(p: Params, wname: str, idx: np.ndarray) -> jax.Array:
+    w = p[wname]
+    flat = jnp.concatenate([w.reshape(-1), jnp.zeros((1,), w.dtype)])
+    return flat[idx]
+
+
+def _packed_bn(p: Params, mut: Params, name: str, x: jax.Array, t: int,
+               train: bool) -> jax.Array:
+    """BatchNorm over the packed layout with per-original-channel stats."""
+    n, hp, wp, cp = x.shape
+    c = cp // t
+    y = L.bn(p, mut, name, x.reshape(n, hp, wp, t, c), train)
+    return y.reshape(n, hp, wp, cp)
+
+
+def _pconv_block(maps: PackMaps, p, mut, name, x, train: bool) -> jax.Array:
+    """Packed conv_block: conv -> ReLU -> BN (reference model.py:116)."""
+    w = _gather_weight(p, name + ".conv.weight", maps.idx[name])
+    t = maps.tile[name]
+    y = nn.conv2d(x, w, jnp.tile(p[name + ".conv.bias"], t),
+                  padding=int(w.shape[0]) // 2)
+    return _packed_bn(p, mut, name + ".bn", nn.relu(y), t, train)
+
+
+def _ptconv_block(maps: PackMaps, p, mut, name, x, train: bool) -> jax.Array:
+    """Packed up_tconv: tconv -> BN -> ReLU."""
+    w = _gather_weight(p, name + ".conv.weight", maps.idx[name])
+    t = maps.tile[name]
+    y = nn.conv2d(x, w, jnp.tile(p[name + ".conv.bias"], t),
+                  padding=int(w.shape[0]) // 2)
+    return nn.relu(_packed_bn(p, mut, name + ".bn", y, t, train))
+
+
+def pack_targets(targets: jax.Array) -> jax.Array:
+    """(N, H, W) int labels -> (N, H/4, W/4, 16) packed labels. Pixel-set
+    preserving, so CE/metrics over the packed layout are exact."""
+    return space_to_depth(targets[..., None], 4)
+
+
+def packed_train_apply(maps: PackMaps, p: Params, x: jax.Array, *,
+                       train: bool = True,
+                       rng: Optional[jax.Array] = None):
+    """Packed forward with live params + training-mode BN.
+
+    Returns ((N, H/4, W/4, 16, num_classes) logits, mut). Exact rewrite of
+    zoo.robo_unet_apply up to float reassociation; pair with pack_targets.
+    ``rng`` is accepted for apply-signature parity (the segmentation head has
+    no dropout — reference model.py:410 pool=False path)."""
+    cfg = maps.cfg
+    D = cfg.eff_depth
+    mut: Params = {}
+    n, H, W, c = x.shape
+    assert H % 8 == 0 and W % 8 == 0, (H, W)
+
+    feats = {}
+    name = "downPart.Level0.layers.Conv0"
+    xg = x.reshape(n, H, W // 4, 4 * c)
+    y = nn.conv2d(xg, _gather_weight(p, name + ".conv.weight", maps.idx[name]),
+                  jnp.tile(p[name + ".conv.bias"], 16), stride=(4, 1),
+                  padding=1)
+    h = _packed_bn(p, mut, name + ".bn", nn.relu(y), 16, train)
+    feats[0] = h
+    h = _pconv_block(maps, p, mut, "downPart.Level1.layers.Conv0", h, train)
+    h = _pconv_block(maps, p, mut, "downPart.Level1.layers.Conv1", h, train)
+    feats[1] = h
+    h = _pconv_block(maps, p, mut, "downPart.Level2.layers.Conv0", h, train)
+    h = L.conv_block(p, mut, "downPart.Level2.layers.Conv1", h, 1, 3, train)
+    feats[2] = h
+    for i in range(3, D):
+        h = L.level_down(p, mut, f"downPart.Level{i}", h, cfg.levels,
+                         True, False, train)
+        feats[i] = h
+    h2 = L.level_down(p, mut, "PB.PB_1", h, cfg.belly_size - 1, False,
+                      False, train)
+    up = L.level_down(p, mut, "PB.PB_2", h2, 1, False, False, train)
+
+    for j in range(D - 1):
+        r = D - 2 - j
+        if _f_at(r) == 1:
+            up = L.up_tconv(p, mut, f"upPart.Up{j}", up, train) + feats[r]
+        else:
+            up = _ptconv_block(maps, p, mut, f"upPart.Up{j}", up, train) \
+                + feats[r]
+
+    name = "segmenter.layers.Class"
+    w = _gather_weight(p, name + ".weight", maps.idx[name])
+    logits = nn.conv2d(up, w, jnp.tile(p[name + ".bias"], 16), padding=0)
+    nl, hp, wp, _ = logits.shape
+    return logits.reshape(nl, hp, wp, 16, cfg.num_classes), mut
+
+
 def build_packed_infer(model: Model, params: Params,
                        dtype: jnp.dtype = jnp.bfloat16) -> PackedInfer:
     """Compile a trained ROBO-UNet for TPU inference (exact rewrite).

@@ -151,6 +151,52 @@ class Trainer:
             pixel_acc=correct * self.cfg.out_size * 100.0 / max(imgs, 1.0),
             extra={})
 
+    def train_epoch_streamed(self, lr: float, dataset, *,
+                             shuffle: bool = True,
+                             prune_masks: Optional[Dict[str, np.ndarray]] = None
+                             ) -> EpochResult:
+        """One epoch fed from a host dataset via the prefetching streaming
+        pipeline (data/streaming.py) instead of the HBM cache — for datasets
+        exceeding device memory. Host decode overlaps device compute (the
+        TPU-native analog of the reference's DataLoader(num_workers=8),
+        train.py:295-299); the jitted step is identical to train_epoch's.
+        """
+        from robocupvision_tpu.data.streaming import StreamingBatches
+
+        assert self.state is not None
+        masks_dev = None
+        if prune_masks is not None:
+            masks_dev = {k: jnp.asarray(v, jnp.float32)
+                         for k, v in prune_masks.items()}
+        lr_arr = jnp.float32(lr)
+        host_rng = None
+        if shuffle:
+            seed = int(jax.random.randint(self._next_rng(), (), 0, 2**31 - 1))
+            host_rng = np.random.default_rng(seed)
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P("data"))
+        stream = StreamingBatches(dataset, self.batch_size, host_rng,
+                                  sharding=sharding)
+        pending = []
+        for bimgs, btgt, bmask in stream:
+            self.state, out = self.train_step(self.state, bimgs, btgt, bmask,
+                                              self._next_rng(), lr_arr,
+                                              masks_dev)
+            pending.append(out)
+        n_batches = len(pending)
+        fetched = jax.device_get(pending)
+        tot_loss = sum(float(o["loss"]) for o in fetched)
+        tot_reg = sum(float(o["reg"]) for o in fetched)
+        correct = sum(float(o["correct"]) for o in fetched)
+        imgs = sum(float(o["img_cnt"]) for o in fetched)
+        return EpochResult(
+            loss=tot_loss / max(n_batches, 1), reg=tot_reg / max(n_batches, 1),
+            pixel_acc=correct * self.cfg.out_size * 100.0 / max(imgs, 1.0),
+            extra={})
+
     def _train_epoch_scan(self, lr_arr, masks_dev) -> EpochResult:
         """One device dispatch for the whole epoch (lax.scan over batches)."""
         cache = self.train_cache

@@ -55,14 +55,19 @@ class StepCfg:
     out_size: float = 1.0               # 1/(H*W) pixel-acc normalizer
     compute_dtype: str = "float32"      # "bfloat16": bf16 fwd/bwd, f32 master
                                         # weights + f32 loss/stats/optimizer
+    packed: bool = False                # lane-packed training graph (ROBO-UNet
+                                        # CE path only) — exact rewrite, same
+                                        # params/opt/checkpoints; see
+                                        # models/packed.py packed_train_apply
 
 
 def _loss(cfg: StepCfg, logits, targets, mask):
     w = jnp.asarray(cfg.class_weights, jnp.float32) if cfg.class_weights else None
     pixel_mask = None
     if mask is not None:
-        if logits.ndim == 4:
-            pixel_mask = mask[:, None, None] * jnp.ones(targets.shape, jnp.float32)
+        if logits.ndim >= 4:  # (N,H,W,C) or packed (N,Hp,Wp,16,C)
+            pixel_mask = mask.reshape((-1,) + (1,) * (targets.ndim - 1)) \
+                * jnp.ones(targets.shape, jnp.float32)
         else:
             pixel_mask = mask
     if cfg.loss == "dice":
@@ -91,6 +96,13 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
     scanned over a whole epoch by make_epoch_fn."""
     nb, nr, ng, nl = cfg.mask_flags
 
+    packed_maps = None
+    if cfg.packed:
+        from robocupvision_tpu.models import packed as packed_mod
+
+        assert cfg.loss == "ce2d", "packed training supports the ce2d path"
+        packed_maps = packed_mod.build_train_pack_maps(model)
+
     def loss_fn(trainable: Params, state: Params, imgs, targets, mask, rng):
         p = {**trainable, **state}
         if cfg.compute_dtype == "bfloat16":
@@ -99,7 +111,13 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
             imgs = imgs.astype(jnp.bfloat16)
         with L.bn_stats_mask(mask):
             # padded batch slots must not contaminate BN batch statistics
-            logits, mut = model.apply(p, imgs, train=True, rng=rng)
+            if packed_maps is not None:
+                from robocupvision_tpu.models import packed as packed_mod
+
+                logits, mut = packed_mod.packed_train_apply(
+                    packed_maps, p, imgs, train=True, rng=rng)
+            else:
+                logits, mut = model.apply(p, imgs, train=True, rng=rng)
         if cfg.loss == "ce":
             logits = logits.reshape(logits.shape[0], -1)  # squeeze 1x1 spatial
         task_loss = _loss(cfg, logits, targets, mask)
@@ -129,6 +147,10 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
             imgs, _ = _augment(
                 aug_rng, imgs, jnp.zeros(imgs.shape[:3], jnp.int32), cfg.jitter)
         targets = labels.mask_label(targets, nb, nr, ng, nl)
+        if packed_maps is not None:
+            from robocupvision_tpu.models import packed as packed_mod
+
+            targets = packed_mod.pack_targets(targets)
 
         trainable, bn_state = L.split_params(state.params)
         (total, (mut, logits, reg)), grads = jax.value_and_grad(
@@ -149,8 +171,9 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
         if cfg.loss == "ce":
             correct = jnp.sum((pred == targets).astype(jnp.float32) * m)
         else:
-            correct = jnp.sum((pred == targets).astype(jnp.float32)
-                              * m[:, None, None])
+            correct = jnp.sum(
+                (pred == targets).astype(jnp.float32)
+                * m.reshape((-1,) + (1,) * (targets.ndim - 1)))
         out = {
             "loss": total, "reg": reg,
             "correct": correct,

@@ -98,3 +98,85 @@ def test_packed_rejects_unsupported_variants():
     with pytest.raises(AssertionError):
         m = zoo.make("robo_unet", pool=True)
         packed.build_packed_infer(m, m.init(jax.random.PRNGKey(0)))
+
+
+# ---- packed TRAINING graph ---------------------------------------------------
+
+def test_packed_train_apply_matches_standard_forward():
+    """packed_train_apply with train-mode BN == robo_unet_apply per pixel."""
+    model = zoo.make("robo_unet", planes=4, depth=4, levels=2, belly_size=2,
+                     belly_planes=16)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((3, 48, 64, 3)), jnp.float32)
+
+    ref, mut_ref = zoo.robo_unet_apply(model.cfg, params, x, train=True)
+    maps = packed.build_train_pack_maps(model)
+    got, mut_got = packed.packed_train_apply(maps, params, x, train=True)
+    # unpack (N, Hp, Wp, 16, C) -> (N, H, W, C)
+    n, hp, wp, t, c = got.shape
+    got_full = packed.depth_to_space(got.reshape(n, hp, wp, t * c), 4)
+    np.testing.assert_allclose(np.asarray(got_full), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    assert set(mut_got) == set(mut_ref)
+    for k in mut_ref:
+        np.testing.assert_allclose(np.asarray(mut_got[k]),
+                                   np.asarray(mut_ref[k]),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_packed_train_step_matches_standard():
+    """A full train step (augment + loss + backward + update + BN stats)
+    through the packed graph equals the standard graph — packed training is
+    purely an execution strategy.
+
+    Part 1 certifies *gradient* exactness: one plain-SGD step, where the
+    param delta IS lr*grad, compared tightly. Part 2 runs 3 Adam steps and
+    checks the loss trajectory and correct-pixel counts agree (Adam's
+    sqrt(v)+eps rescaling amplifies float-reassociation noise on near-zero
+    gradients, so param-level bitwise agreement is not expected there)."""
+    import dataclasses
+
+    from robocupvision_tpu.train import optim, step as tstep
+
+    model = zoo.make("robo_unet", planes=4, depth=4, levels=2, belly_size=2,
+                     belly_planes=16)
+    cfg_std = tstep.StepCfg(num_classes=5, class_weights=(1, 10, 30, 10, 2),
+                            l1_decay=1e-6, out_size=1.0 / (48 * 64))
+    cfg_pk = dataclasses.replace(cfg_std, packed=True)
+
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.standard_normal((6, 48, 64, 3)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 5, (6, 48, 64)), jnp.int32)
+    mask = jnp.asarray([1, 1, 1, 1, 1, 0], jnp.float32)  # one padded slot
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(100)
+
+    # part 1: SGD step — param delta == lr * grad, so this compares gradients
+    tx = optim.sgd()
+    s_std = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+    s_pk = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+    step_std = tstep.make_train_step(model, tx, cfg_std, donate=False)
+    step_pk = tstep.make_train_step(model, tx, cfg_pk, donate=False)
+    s_std, o_std = step_std(s_std, imgs, targets, mask, key, lr, None)
+    s_pk, o_pk = step_pk(s_pk, imgs, targets, mask, key, lr, None)
+    assert abs(float(o_std["loss"]) - float(o_pk["loss"])) < 1e-4
+    for k in s_std.params:
+        np.testing.assert_allclose(np.asarray(s_pk.params[k]),
+                                   np.asarray(s_std.params[k]),
+                                   atol=1e-5, rtol=1e-4, err_msg=k)
+
+    # part 2: 3 Adam steps — the loss trajectories stay together
+    tx = optim.adam()
+    s_std = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+    s_pk = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+    step_std = tstep.make_train_step(model, tx, cfg_std, donate=False)
+    step_pk = tstep.make_train_step(model, tx, cfg_pk, donate=False)
+    for i in range(3):
+        key = jax.random.PRNGKey(100 + i)
+        s_std, o_std = step_std(s_std, imgs, targets, mask, key, lr, None)
+        s_pk, o_pk = step_pk(s_pk, imgs, targets, mask, key, lr, None)
+        assert abs(float(o_std["loss"]) - float(o_pk["loss"])) < 2e-4
+        # argmax can flip on near-tied random-init logits (reassociation)
+        assert float(o_std["correct"]) == pytest.approx(
+            float(o_pk["correct"]), abs=0.002 * 6 * 48 * 64)

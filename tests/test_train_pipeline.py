@@ -203,6 +203,12 @@ def test_device_cache_batches(data_root):
 
 # ---- end-to-end CLI --------------------------------------------------------
 
+# --labSize 48 64 runs the e2e CLIs at the synthetic data's native size:
+# same code paths, ~6x less single-core CPU conv work than the QVGA default
+# (the quick tier must stay fast; the slow tier covers the real resolution).
+LAB = ["--labSize", "48", "64"]
+
+
 def test_train_cli_end_to_end(data_root, tmp_path, monkeypatch, capsys):
     """python -m ...train equivalent on the tiny synthetic dataset: runs,
     learns something, writes the correctly-named checkpoint."""
@@ -210,7 +216,7 @@ def test_train_cli_end_to_end(data_root, tmp_path, monkeypatch, capsys):
     from robocupvision_tpu.cli import train as cli_train
 
     rc = cli_train.main(["--root", data_root, "--epochs", "3",
-                         "--batchSize", "8"])
+                         "--batchSize", "8"] + LAB)
     assert rc == 0
     out = capsys.readouterr().out
     assert "Saving best model" in out
@@ -218,9 +224,23 @@ def test_train_cli_end_to_end(data_root, tmp_path, monkeypatch, capsys):
 
     # masked variant writes its own name
     rc = cli_train.main(["--root", data_root, "--epochs", "1",
-                         "--batchSize", "8", "--noBall", "--noLine"])
+                         "--batchSize", "8", "--noBall", "--noLine"] + LAB)
     assert rc == 0
     assert osp.exists(tmp_path / "checkpoints" / "bestNoBallNoLine.weights")
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end_qvga(data_root, tmp_path, monkeypatch, capsys):
+    """One full-default-resolution (QVGA 120x160) train CLI run — the exact
+    reference working size (train.py:253-254)."""
+    monkeypatch.chdir(tmp_path)
+    from robocupvision_tpu.cli import train as cli_train
+
+    rc = cli_train.main(["--root", data_root, "--epochs", "1",
+                         "--batchSize", "8"])
+    assert rc == 0
+    assert "Saving best model" in capsys.readouterr().out
+    assert osp.exists(tmp_path / "checkpoints" / "best.weights")
 
 
 def test_train_cli_rejects_all_background(capsys):
@@ -263,6 +283,74 @@ def test_streaming_batches(data_root):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_train_epoch_streamed_matches_cached(data_root):
+    """Trainer.train_epoch_streamed (prefetching host pipeline) produces the
+    exact same params as feeding the identical batches from the HBM cache —
+    the streamed and cached paths share one jitted step."""
+    import jax
+    import jax.numpy as jnp
+
+    from robocupvision_tpu.data.datasets import SSYUVDataset
+    from robocupvision_tpu.data.device_cache import DeviceCache, epoch_batches
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import optim, step as tstep
+    from robocupvision_tpu.train.loop import Trainer
+
+    ds = SSYUVDataset(data_root, (48, 64), train=True)
+    cache = DeviceCache.from_numpy(*ds.load_all())
+    model = zoo.make("robo_unet", planes=4, depth=3, levels=1, belly_size=2,
+                     belly_planes=8)
+    cfg = tstep.StepCfg(num_classes=5, out_size=1.0 / (48 * 64))
+    tr = Trainer(model, optim.adam(), cfg, cache, cache, batch_size=5,
+                 scan_epochs=False)
+    tr.init(jax.random.PRNGKey(0))
+    p0 = tr.params_numpy()
+
+    tr.rng = jax.random.PRNGKey(7)
+    res = tr.train_epoch_streamed(1e-3, ds, shuffle=False)
+    assert np.isfinite(res.loss)
+    p_stream = tr.params_numpy()
+
+    # replay the same epoch from the device cache with the same rng sequence
+    tr.set_params(p0)
+    tr.rng = jax.random.PRNGKey(7)
+    lr = jnp.float32(1e-3)
+    for bimgs, btgt, bmask in epoch_batches(cache, 5, None):
+        tr.state, _ = tr.train_step(tr.state, bimgs, btgt, bmask,
+                                    tr._next_rng(), lr, None)
+    p_cached = tr.params_numpy()
+    for k in p_stream:
+        np.testing.assert_allclose(p_stream[k], p_cached[k], rtol=0, atol=0)
+
+
+def test_streaming_overlaps_decode_with_compute():
+    """The producer thread must decode the next batches while the consumer
+    works: with decode ~= consume cost, wall clock approaches max(decode,
+    consume), not their sum."""
+    import time
+
+    from robocupvision_tpu.data.streaming import StreamingBatches
+
+    delay = 0.02
+    n, bs = 40, 4  # 10 batches
+
+    class SlowDataset:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            time.sleep(delay / bs)  # per-item decode cost
+            return (np.zeros((4, 4, 3), np.float32), np.int32(0))
+
+    t0 = time.perf_counter()
+    for _ in StreamingBatches(SlowDataset(), bs):
+        time.sleep(delay)  # per-batch consume cost
+    wall = time.perf_counter() - t0
+    serial = 2 * (n // bs) * delay
+    # overlapped: ~1x the per-batch cost + one pipeline fill; serial: ~2x.
+    assert wall < 0.75 * serial, f"no overlap: wall={wall:.3f}s serial={serial:.3f}s"
+
+
 def test_train_cli_is_deterministic(data_root, tmp_path, monkeypatch):
     """Two identical runs produce bit-identical checkpoints (fixed seed
     12345678, device-side shuffling, scan epochs)."""
@@ -274,7 +362,7 @@ def test_train_cli_is_deterministic(data_root, tmp_path, monkeypatch):
         d.mkdir()
         monkeypatch.chdir(d)
         rc = cli_train.main(["--root", data_root, "--epochs", "2",
-                             "--batchSize", "8"])
+                             "--batchSize", "8"] + LAB)
         assert rc == 0
         with np.load(d / "checkpoints" / "best.weights") as z:
             outs.append({k: z[k] for k in z.files})
@@ -288,10 +376,10 @@ def test_train_cli_dice_and_unet_variants(data_root, tmp_path, monkeypatch):
     from robocupvision_tpu.cli import train as cli_train
 
     rc = cli_train.main(["--root", data_root, "--epochs", "1",
-                         "--batchSize", "8", "--useDice"])
+                         "--batchSize", "8", "--useDice"] + LAB)
     assert rc == 0
     rc = cli_train.main(["--root", data_root, "--epochs", "1",
-                         "--batchSize", "8", "--UNet"])
+                         "--batchSize", "8", "--UNet"] + LAB)
     assert rc == 0
     assert osp.exists("checkpoints/bestUNet.weights")
 
@@ -303,16 +391,17 @@ def test_train_cli_transfer_sweep(data_root, tmp_path, monkeypatch, capsys):
     from robocupvision_tpu.cli import test as cli_test
     from robocupvision_tpu.cli import train as cli_train
 
-    rc = cli_train.main(["--root", data_root, "--epochs", "1", "--batchSize", "8"])
+    rc = cli_train.main(["--root", data_root, "--epochs", "1",
+                         "--batchSize", "8"] + LAB)
     assert rc == 0
     rc = cli_train.main(["--root", data_root, "--epochs", "1", "--batchSize",
-                         "8", "--finetune", "--transfer"])
+                         "8", "--finetune", "--transfer"] + LAB)
     assert rc == 0
     for t in (1, 2, 3, 4):
         assert osp.exists(f"checkpoints/bestFinetuneT{t}.weights"), t
 
     rc = cli_test.main(["--root", data_root, "--batchSize", "8", "--finetune",
-                        "--transfer"])
+                        "--transfer"] + LAB)
     assert rc == 0
     out = capsys.readouterr().out
     assert "bestFinetuneT4.weights" in out and "bestFinetuneT1.weights" in out

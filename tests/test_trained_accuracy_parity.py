@@ -1,0 +1,120 @@
+"""Trained-accuracy parity: this framework and the reference's own torch code
+reach the same segmentation quality when trained on the same data.
+
+PARITY.md deviation 1 claims "trained-accuracy parity, not bit parity" (RNG
+streams differ between torch and jax.random, so weights diverge from step 0).
+This test demonstrates the claim end-to-end: train the actual reference
+ROBO_UNet (torch CPU, /root/reference/model.py:461) and ours on one tiny
+synthetic set with matched architecture, loss (CrossEntropyLoss2d, class
+weights), optimizer (Adam, lr 1e-3 — train.py:357-366 modulo the transfer
+groups), batch size and epoch count, then score both on the same val split
+with the reference's IoU convention (empty-union -> 1, train.py:149-153).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted"),
+]
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synth_data import make_seg_tree  # noqa: E402
+
+H, W = 48, 64
+WEIGHTS = (1.0, 10.0, 30.0, 10.0, 2.0)   # train.py synthetic class weights
+EPOCHS = 60
+BATCH = 6
+LR = 1e-3
+ARCH = dict(planes=4, depth=3, levels=2, belly_size=2, belly_planes=16)
+
+
+def _miou(pred: np.ndarray, lab: np.ndarray, nc: int = 5) -> float:
+    ious = []
+    for c in range(nc):
+        inter = float(np.sum((pred == c) & (lab == c)))
+        union = float(np.sum((pred == c) | (lab == c)))
+        ious.append(inter / union if union > 0 else 1.0)
+    return float(np.mean(ious))
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("parity"))
+    make_seg_tree(root, n_train=12, n_val=6, size=(H, W), cameras=False, seed=0)
+
+    from robocupvision_tpu.data.datasets import SSYUVDataset
+
+    tr = SSYUVDataset(root, (H, W), train=True)
+    va = SSYUVDataset(root, (H, W), train=False)
+    return tr.load_all() + va.load_all()
+
+
+def _train_ours(tr_imgs, tr_labs, va_imgs, va_labs) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from robocupvision_tpu.data.device_cache import DeviceCache
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import optim, step as tstep
+    from robocupvision_tpu.train.loop import Trainer
+
+    model = zoo.make("robo_unet", **ARCH)
+    cfg = tstep.StepCfg(num_classes=5, class_weights=WEIGHTS,
+                        out_size=1.0 / (H * W), augment=False)
+    trn = Trainer(model, optim.adam(), cfg,
+                  DeviceCache.from_numpy(tr_imgs, tr_labs),
+                  DeviceCache.from_numpy(va_imgs, va_labs), BATCH)
+    trn.init()
+    for _ in range(EPOCHS):
+        trn.train_epoch(LR)
+    ev = tstep.make_eval_step(model, cfg)
+    out = ev(trn.state.params, jnp.asarray(va_imgs), jnp.asarray(va_labs),
+             jnp.ones((len(va_imgs),), jnp.float32))
+    return _miou(np.asarray(out["pred"]), va_labs)
+
+
+def _train_reference(tr_imgs, tr_labs, va_imgs, va_labs) -> float:
+    import torch
+
+    sys.path.insert(0, REF)
+    import model as refmodel
+
+    torch.manual_seed(12345678)
+    tm = refmodel.ROBO_UNet(planes=ARCH["planes"], depth=ARCH["depth"],
+                            levels=ARCH["levels"], bellySize=ARCH["belly_size"],
+                            bellyPlanes=ARCH["belly_planes"])
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    crit = refmodel.CrossEntropyLoss2d(torch.tensor(WEIGHTS))
+    x = torch.from_numpy(tr_imgs.transpose(0, 3, 1, 2)).float()
+    y = torch.from_numpy(tr_labs).long()
+    rng = np.random.default_rng(0)
+    tm.train()
+    for _ in range(EPOCHS):
+        order = rng.permutation(len(x))
+        for s in range(0, len(x), BATCH):
+            idx = order[s:s + BATCH]
+            opt.zero_grad()
+            crit(tm(x[idx]), y[idx]).backward()
+            opt.step()
+    tm.eval()
+    with torch.no_grad():
+        pred = tm(torch.from_numpy(va_imgs.transpose(0, 3, 1, 2)).float()) \
+            .argmax(1).numpy()
+    return _miou(pred, va_labs)
+
+
+def test_trained_miou_matches_reference(data):
+    tr_imgs, tr_labs, va_imgs, va_labs = data
+    ours = _train_ours(tr_imgs, tr_labs, va_imgs, va_labs)
+    ref = _train_reference(tr_imgs, tr_labs, va_imgs, va_labs)
+    # calibrated (fixed seeds, deterministic): ours 0.5149, ref 0.5313
+    print(f"trained-accuracy parity: ours mIoU={ours:.4f} ref mIoU={ref:.4f}")
+    assert ours > 0.45, f"ours failed to learn: mIoU={ours:.4f}"
+    assert ref > 0.45, f"reference failed to learn: mIoU={ref:.4f}"
+    assert abs(ours - ref) < 0.1, (ours, ref)
