@@ -23,16 +23,22 @@ import jax.numpy as jnp
 
 
 def _time(fn, *args, iters=100):
-    """Median of 3 timed runs — the axon tunnel occasionally produces one
-    wildly-off measurement (observed 20x-fast once), a single run is not
-    trustworthy."""
-    fn(*args).block_until_ready()
+    """Median of 3 timed runs, synchronized by FETCHING a scalar derived from
+    the last output — block_until_ready can return before execution completes
+    on the axon transport (see PERF.md "phantom timings"), so only a D2H
+    fetch is a trustworthy barrier. The single ~29 ms fetch RTT inside each
+    window biases fps DOWN by <= RTT/window — conservative, never flattering.
+    """
+    import numpy as np
+
+    y = fn(*args)
+    np.asarray(jnp.ravel(y)[0])  # warm + first-fetch stall out of the way
 
     def once():
         t0 = time.perf_counter()
         for _ in range(iters):
             y = fn(*args)
-        y.block_until_ready()
+        np.asarray(jnp.ravel(y)[0])
         return (time.perf_counter() - t0) / iters
 
     return sorted(once() for _ in range(3))[1]
@@ -79,12 +85,16 @@ def bench_train_steps(iters: int = 50):
     mask = jnp.ones((b,), jnp.float32)
     lr = jnp.float32(1e-3)
 
+    # One throwaway fetch first: the axon tunnel's FIRST device->host copy
+    # can stall for minutes (one-time); get it out of the timed region.
+    jax.device_get(jnp.zeros(1))
+
     def measure(cfg):
         train_step = tstep.make_train_step(model, tx, cfg)
         state = tstep.init_state(model, tx, jax.random.PRNGKey(0))
-        state, _ = train_step(state, imgs, targets, mask, jax.random.PRNGKey(2),
-                              lr, None)
-        jax.block_until_ready(state.params)
+        state, out = train_step(state, imgs, targets, mask,
+                                jax.random.PRNGKey(2), lr, None)
+        float(out["loss"])
 
         def once():
             nonlocal state
@@ -93,7 +103,11 @@ def bench_train_steps(iters: int = 50):
                 state, m = train_step(state, imgs, targets, mask,
                                       jax.random.fold_in(jax.random.PRNGKey(3), i),
                                       lr, None)
-            jax.block_until_ready(state.params)
+            # sync on a VALUE derived from the last step: block_until_ready
+            # can return before execution completes on the axon transport
+            # (measured: phantom 500+ steps/s vs 16 ms/step in the device
+            # trace), so only a D2H fetch is a trustworthy barrier.
+            float(m["loss"])
             return iters / (time.perf_counter() - t0)
 
         return sorted(once() for _ in range(3))[1]
@@ -106,14 +120,18 @@ def bench_train_steps(iters: int = 50):
         out[dtype] = measure(cfg)
         # lane-packed training graph (exact rewrite; models/packed.py)
         out[dtype + "_packed"] = measure(dataclasses.replace(cfg, packed=True))
+        # rematerialized backward (exact; StepCfg.remat)
+        out[dtype + "_remat"] = measure(dataclasses.replace(cfg, remat="dots"))
     # the fastest exact path is the headline train configuration
     out["best"] = max(out.values())
     return out
 
 
-def bench_scan_epoch(n: int = 512, batch: int = 64, epochs: int = 5):
+def bench_scan_epoch(n: int = 2048, batch: int = 64, epochs: int = 5):
     """Whole-epoch lax.scan training throughput (images/sec) through the
-    Trainer on an HBM-cached synthetic dataset — the pipeline cli.train uses."""
+    Trainer on an HBM-cached synthetic dataset — the pipeline cli.train uses.
+    n is sized so the fixed per-epoch cost (one metrics device_get: ~29 ms
+    tunnel RTT) amortizes over 32 scanned batches."""
     import numpy as np
 
     from robocupvision_tpu.data.device_cache import DeviceCache
@@ -140,8 +158,12 @@ def bench_scan_epoch(n: int = 512, batch: int = 64, epochs: int = 5):
 def bench_streamed_epoch(n: int = 512, batch: int = 64, epochs: int = 3):
     """Streamed training (prefetching host pipeline, data/streaming.py) vs
     the same per-step path fed from the HBM cache — the big-dataset story.
-    The host dataset pays a realistic per-item decode cost (uint8 ->
-    normalized f32). Returns (streamed_ips, cached_ips)."""
+
+    The dataset ships raw uint8 and normalizes ON DEVICE (StreamingBatches
+    device_transform): host->device transfer bandwidth is the streaming
+    roofline (the axon tunnel moves ~35-40 MB/s — a local PCIe host does
+    GB/s), so bytes-on-the-wire is the honest thing to optimize. Returns
+    (streamed_ips, cached_ips, transfer_roofline_ips)."""
     import numpy as np
 
     from robocupvision_tpu.data.device_cache import DeviceCache
@@ -152,14 +174,18 @@ def bench_streamed_epoch(n: int = 512, batch: int = 64, epochs: int = 3):
     rng = np.random.default_rng(0)
     raw = rng.integers(0, 256, (n, 120, 160, 3), np.uint8)
     labs = rng.integers(0, 5, (n, 120, 160)).astype(np.int32)
-    mean = np.float32(127.5)
 
-    class HostDataset:
+    labs8 = labs.astype(np.uint8)
+
+    class HostDataset:  # ship compact: uint8 frames AND uint8 labels
         def __len__(self):
             return n
 
         def __getitem__(self, i):
-            return ((raw[i].astype(np.float32) - mean) / mean, labs[i])
+            return (raw[i], labs8[i])
+
+    def normalize(x, t):
+        return (x.astype(jnp.float32) - 127.5) / 127.5, t.astype(jnp.int32)
 
     ds = HostDataset()
     cfg = tstep.StepCfg(num_classes=5, class_weights=(1, 10, 30, 10, 2),
@@ -168,20 +194,32 @@ def bench_streamed_epoch(n: int = 512, batch: int = 64, epochs: int = 3):
     tr = Trainer(zoo.make("robo_unet"), optim.adam(), cfg, None, None, batch,
                  scan_epochs=False)
     tr.init()
-    tr.train_epoch_streamed(1e-3, ds)  # compile
+    tr.train_epoch_streamed(1e-3, ds, device_transform=normalize)  # compile
     t0 = time.perf_counter()
     for _ in range(epochs):
-        tr.train_epoch_streamed(1e-3, ds)
+        tr.train_epoch_streamed(1e-3, ds, device_transform=normalize)
     streamed = n * epochs / (time.perf_counter() - t0)
 
-    imgs_f32 = np.stack([ds[i][0] for i in range(n)])
+    # transfer roofline: time pure host->device puts of the same bytes
+    sample = np.stack([raw[i] for i in range(batch)])
+    lab_b = labs8[:batch]
+    jax.device_put(sample).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        a = jax.device_put(sample)
+        b = jax.device_put(lab_b)
+        jax.block_until_ready((a, b))
+    roofline = batch * reps / (time.perf_counter() - t0)
+
+    imgs_f32 = (raw.astype(np.float32) - 127.5) / 127.5
     tr.train_cache = DeviceCache.from_numpy(imgs_f32, labs)
     tr.train_epoch(1e-3)  # compile/warm
     t0 = time.perf_counter()
     for _ in range(epochs):
         tr.train_epoch(1e-3)
     cached = n * epochs / (time.perf_counter() - t0)
-    return streamed, cached
+    return streamed, cached, roofline
 
 
 def bench_torch_cpu_baseline(iters: int = 3):
@@ -236,12 +274,58 @@ def analytic_gflops():
 _V5E_BF16_PEAK_GFLOPS = 197_000.0  # TPU v5e: 197 bf16 TFLOP/s per chip
 
 
+def _run_stage(stage: str):
+    """Execute one bench stage in THIS process and print its JSON result.
+
+    Stages run in separate interpreters: one workload per process is how
+    production jobs run, and it keeps each stage's numbers independent of
+    the axon tunnel's per-process state (first-fetch stall, sync-mode
+    changes — see PERF.md "measuring through the axon tunnel").
+    """
+    import numpy as _np
+
+    if stage == "vga":
+        out = bench_vga_inference()
+    elif stage == "train":
+        out = bench_train_steps()
+    elif stage == "scan":
+        out = bench_scan_epoch()
+    elif stage == "streamed":
+        out = bench_streamed_epoch()
+    elif stage == "torch":
+        out = bench_torch_cpu_baseline()
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+    print("STAGE_RESULT:" + json.dumps(
+        out if not isinstance(out, tuple) else list(out),
+        default=lambda o: float(o) if isinstance(o, _np.floating) else o))
+
+
+def _stage_subprocess(stage: str):
+    import os
+    import subprocess
+
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                           "--stage", stage], env=dict(os.environ),
+                          capture_output=True, text=True, timeout=3000)
+    for line in proc.stdout.splitlines():
+        if line.startswith("STAGE_RESULT:"):
+            return json.loads(line[len("STAGE_RESULT:"):])
+    sys.stderr.write(proc.stdout + proc.stderr)
+    raise RuntimeError(f"bench stage {stage} failed (rc={proc.returncode})")
+
+
 if __name__ == "__main__":
-    fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4 = bench_vga_inference()
-    steps = bench_train_steps()
-    epoch_ips = bench_scan_epoch()
-    streamed_ips, cached_ips = bench_streamed_epoch()
-    torch_steps = bench_torch_cpu_baseline()
+    if len(sys.argv) == 3 and sys.argv[1] == "--stage":
+        _run_stage(sys.argv[2])
+        sys.exit(0)
+
+    fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4 = \
+        _stage_subprocess("vga")
+    steps = _stage_subprocess("train")
+    epoch_ips = _stage_subprocess("scan")
+    streamed_ips, cached_ips, transfer_roof_ips = _stage_subprocess("streamed")
+    torch_steps = _stage_subprocess("torch")
     gf_vga, gf_qvga = analytic_gflops()
     # train ~= 3x forward cost (fwd + 2x in bwd), x64 images per step
     train_gflops = 3 * 64 * gf_qvga * steps["best"]
@@ -262,11 +346,15 @@ if __name__ == "__main__":
                 round(steps["float32_packed"], 2),
             "train_steps_per_sec_b64_qvga_bf16_packed":
                 round(steps["bfloat16_packed"], 2),
+            "train_steps_per_sec_b64_qvga_bf16_remat":
+                round(steps["bfloat16_remat"], 2),
             "train_steps_per_sec_b64_qvga_best": round(steps["best"], 2),
             "scan_epoch_train_imgs_per_sec_bf16": round(epoch_ips, 1),
             "streamed_train_imgs_per_sec_bf16": round(streamed_ips, 1),
             "streamed_vs_cached_per_step_pct":
                 round(100 * streamed_ips / cached_ips, 1),
+            "streamed_vs_transfer_roofline_pct":
+                round(100 * streamed_ips / transfer_roof_ips, 1),
             "analytic_fwd_gflops_vga": round(gf_vga, 3),
             "infer_bf16_b1_gflops_per_sec": round(gf_vga * fps_packed, 1),
             "infer_bf16_b1_mfu_pct":

@@ -175,28 +175,33 @@ def main(argv=None) -> int:
 
             eta_min = learning_rate / 25 if opt.transfer else learning_rate / 10
             sched = CosineAnnealingLR([learning_rate], epochs, eta_min)
+            lrs = []
+            for _ in range(epochs):
+                lrs.append(sched.get_lr()[0])
+                sched.step()
 
-            best_loss = 0.0
+            # the whole epoch loop runs as one device program (one dispatch,
+            # one metrics fetch); prints stream afterwards, identically
+            best_loss, best_params, ms = tr.train_run(epochs, lrs)
             for epoch in range(epochs):
-                lr = sched.get_lr()[0]
-                res = tr.train_epoch(lr)
-                prune_frac = tr.pruned_fraction()
+                lr = lrs[epoch]
                 print("[Epoch Train %d/%d lr: %.4f][Losses: reg %f, pruned %f, "
                       "total %f][Pixel Acc: %f]"
-                      % (epoch + 1, epochs, lr / learning_rate, res.reg,
-                         prune_frac, res.loss, res.pixel_acc))
-                sched.step()
-                val = tr.valid_epoch()
+                      % (epoch + 1, epochs, lr / learning_rate,
+                         ms["train_reg"][epoch], ms["pruned"][epoch],
+                         ms["train_loss"][epoch], ms["train_pixel_acc"][epoch]))
                 print("[Epoch Val %d/%d lr: %.4f][Losses: total %f]"
                       "[Pixel Acc: %f, Mean Class Acc: %f, Mean IoU: %f]"
-                      % (epoch + 1, epochs, lr / learning_rate, val["loss"],
-                         val["pixel_acc"], val["mean_class_acc"], val["mean_iou"]))
-                if best_loss < val["score"]:
+                      % (epoch + 1, epochs, lr / learning_rate,
+                         ms["val_loss"][epoch], ms["pixel_acc"][epoch],
+                         ms["mean_class_acc"][epoch], ms["mean_iou"][epoch]))
+                if ms["better"][epoch]:
                     print("Saving best model")
-                    print(np.array_str(val["conf"], precision=2, suppress_small=True))
-                    best_loss = val["score"]
-                    path = naming.train_ckpt_name(flags, transfer)
-                    checkpoint.save(path, model.registry, tr.params_numpy())
+                    print(np.array_str(ms["conf"][epoch], precision=2,
+                                       suppress_small=True))
+            if best_params is not None:
+                path = naming.train_ckpt_name(flags, transfer)
+                checkpoint.save(path, model.registry, best_params)
             best_loss_final = best_loss
 
             # post-finetune pruning phase (train.py:375-388)
@@ -214,27 +219,30 @@ def main(argv=None) -> int:
                              batch_size)
                 tr.set_params(params)
                 print("Finetuning")
-                best_loss = 0.0
+                best_loss, best_params, ms = tr.train_run(
+                    25, [learning_rate / 20] * 25, prune_masks=masks)
+                best_epoch = -1
                 for epoch in range(25):
-                    res = tr.train_epoch(learning_rate / 20, prune_masks=masks)
-                    prune_frac = tr.pruned_fraction()
                     print("[Epoch Train %d/25][pruned %f, total %f][Pixel Acc: %f]"
-                          % (epoch + 1, prune_frac, res.loss, res.pixel_acc))
-                    val = tr.valid_epoch()
+                          % (epoch + 1, ms["pruned"][epoch],
+                             ms["train_loss"][epoch],
+                             ms["train_pixel_acc"][epoch]))
                     print("[Epoch Val %d/25][total %f][Pixel Acc: %f, "
                           "Mean Class Acc: %f, Mean IoU: %f]"
-                          % (epoch + 1, val["loss"], val["pixel_acc"],
-                             val["mean_class_acc"], val["mean_iou"]))
-                    if best_loss < val["score"]:
+                          % (epoch + 1, ms["val_loss"][epoch],
+                             ms["pixel_acc"][epoch],
+                             ms["mean_class_acc"][epoch], ms["mean_iou"][epoch]))
+                    if ms["better"][epoch]:
                         print("Saving best model")
-                        best_loss = val["score"]
-                        prune_pct = round(prune_frac * 100)
-                        mflops = round(sum(zoo.robo_unet_get_computations(
-                            model.cfg, tr.params_numpy(), pruned=True)) / 1e6)
-                        path = naming.train_ckpt_name(flags, 0, pruned=True,
-                                                      prune_pct=prune_pct,
-                                                      mflops=mflops)
-                        checkpoint.save(path, model.registry, tr.params_numpy())
+                        best_epoch = epoch
+                if best_params is not None:
+                    prune_pct = round(float(ms["pruned"][best_epoch]) * 100)
+                    mflops = round(sum(zoo.robo_unet_get_computations(
+                        model.cfg, best_params, pruned=True)) / 1e6)
+                    path = naming.train_ckpt_name(flags, 0, pruned=True,
+                                                  prune_pct=prune_pct,
+                                                  mflops=mflops)
+                    checkpoint.save(path, model.registry, best_params)
     return 0
 
 

@@ -28,12 +28,19 @@ class StreamingBatches:
 
     def __init__(self, dataset, batch_size: int,
                  rng: Optional[np.random.Generator] = None,
-                 prefetch: int = 2, sharding=None):
+                 prefetch: int = 2, sharding=None, device_transform=None):
+        """``device_transform``: optional ``(imgs, labels) -> (imgs, labels)``
+        fn (jitted here) applied after the host->device transfer. Lets the
+        dataset ship compact dtypes (e.g. raw uint8 frames AND uint8 labels,
+        ~7x fewer bytes over PCIe/tunnel than f32+int32) and decode/normalize/
+        widen on device — transfer bandwidth is the streaming roofline."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = rng
         self.prefetch = prefetch
         self.sharding = sharding
+        self.device_transform = \
+            jax.jit(device_transform) if device_transform is not None else None
 
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)
@@ -79,7 +86,10 @@ class StreamingBatches:
                 for batch in self._host_batches():
                     put = (lambda a: jax.device_put(a, self.sharding)) \
                         if self.sharding is not None else jax.device_put
-                    if not _put(tuple(put(jnp.asarray(a)) for a in batch)):
+                    imgs, labs, mask = (put(jnp.asarray(a)) for a in batch)
+                    if self.device_transform is not None:
+                        imgs, labs = self.device_transform(imgs, labs)
+                    if not _put((imgs, labs, mask)):
                         return
             except BaseException as e:  # surface dataset errors, don't truncate
                 error.append(e)

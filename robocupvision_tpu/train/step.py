@@ -59,6 +59,11 @@ class StepCfg:
                                         # CE path only) — exact rewrite, same
                                         # params/opt/checkpoints; see
                                         # models/packed.py packed_train_apply
+    remat: str = "none"                 # none | dots | full: jax.checkpoint
+                                        # around the forward — recompute
+                                        # activations in bwd instead of
+                                        # storing (HBM-bound steps gain ~10%
+                                        # with "dots"; numerics unchanged)
 
 
 def _loss(cfg: StepCfg, logits, targets, mask):
@@ -103,21 +108,31 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
         assert cfg.loss == "ce2d", "packed training supports the ce2d path"
         packed_maps = packed_mod.build_train_pack_maps(model)
 
-    def loss_fn(trainable: Params, state: Params, imgs, targets, mask, rng):
+    def _forward(trainable: Params, state: Params, imgs, rng):
         p = {**trainable, **state}
+        if packed_maps is not None:
+            from robocupvision_tpu.models import packed as packed_mod
+
+            return packed_mod.packed_train_apply(packed_maps, p, imgs,
+                                                 train=True, rng=rng)
+        return model.apply(p, imgs, train=True, rng=rng)
+
+    if cfg.remat == "dots":
+        _forward = jax.checkpoint(
+            _forward, policy=jax.checkpoint_policies.dots_saveable)
+    elif cfg.remat == "full":
+        _forward = jax.checkpoint(_forward)
+    elif cfg.remat != "none":
+        raise ValueError(cfg.remat)
+
+    def loss_fn(trainable: Params, state: Params, imgs, targets, mask, rng):
         if cfg.compute_dtype == "bfloat16":
             # activations run bf16 (ops cast weights per-op — a fused convert);
             # master params, BN stats and the loss stay f32.
             imgs = imgs.astype(jnp.bfloat16)
         with L.bn_stats_mask(mask):
             # padded batch slots must not contaminate BN batch statistics
-            if packed_maps is not None:
-                from robocupvision_tpu.models import packed as packed_mod
-
-                logits, mut = packed_mod.packed_train_apply(
-                    packed_maps, p, imgs, train=True, rng=rng)
-            else:
-                logits, mut = model.apply(p, imgs, train=True, rng=rng)
+            logits, mut = _forward(trainable, state, imgs, rng)
         if cfg.loss == "ce":
             logits = logits.reshape(logits.shape[0], -1)  # squeeze 1x1 spatial
         task_loss = _loss(cfg, logits, targets, mask)
@@ -185,21 +200,34 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
 
 
 def make_epoch_fn(model: Model, tx: optax.GradientTransformation, cfg: StepCfg,
-                  batch_size: int, n_batches: int,
+                  batch_size: int, n_batches: int, n: int,
                   multipliers: Optional[Dict[str, float]] = None):
     """One jitted call per EPOCH: lax.scan over static-shape batches gathered
     from the HBM-cached dataset — the reference's whole DataLoader-plus-loop
     becomes a single XLA program with zero per-batch dispatch.
 
-    Signature: epoch(state, images, labels, perm, valid_mask, rng, lr,
-    prune_masks) -> (state, stacked per-batch metric dict). ``perm`` is a
-    padded index vector of length n_batches * batch_size; ``valid_mask``
-    marks real (non-padding) positions.
+    Signature: epoch(state, images, labels, rng, lr, prune_masks) ->
+    (state, summed metric dict). The shuffle permutation, last-batch padding
+    and per-batch metric reduction all happen INSIDE the program: one
+    dispatch and one 4-scalar fetch per epoch. (Per-batch host work is
+    poison on remote-dispatch transports — the axon tunnel charges ~29 ms
+    RTT per synchronous hop and ~1 s per cold eager op; see PERF.md.)
+    ``n`` is the number of real samples; n_batches*batch_size - n slots are
+    padding, excluded from stats via the sample mask.
     """
     step = _train_step_body(model, tx, cfg, multipliers)
+    total = n_batches * batch_size
+    pad = total - n
 
-    def epoch(state: TrainState, images, labels, perm, valid_mask, rng, lr,
+    def epoch(state: TrainState, images, labels, rng, lr,
               prune_masks: Optional[Params]):
+        perm_rng, step_rng = jax.random.split(rng)
+        perm = jax.random.permutation(perm_rng, n)
+        if pad > 0:
+            perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        valid_mask = jnp.concatenate(
+            [jnp.ones((n,), jnp.float32), jnp.zeros((max(pad, 0),), jnp.float32)])
+
         def body(carry, bi):
             st = carry
             start = bi * batch_size
@@ -208,16 +236,137 @@ def make_epoch_fn(model: Model, tx: optax.GradientTransformation, cfg: StepCfg,
             btgt = jnp.take(labels, idx, axis=0)
             bmask = jax.lax.dynamic_slice_in_dim(valid_mask, start, batch_size)
             st, out = step(st, bimgs, btgt, bmask,
-                           jax.random.fold_in(rng, bi), lr, prune_masks)
+                           jax.random.fold_in(step_rng, bi), lr, prune_masks)
             return st, out
 
-        return jax.lax.scan(body, state, jnp.arange(n_batches))
+        state, outs = jax.lax.scan(body, state, jnp.arange(n_batches))
+        return state, jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
 
     return jax.jit(epoch, donate_argnums=(0,))
 
 
+def make_train_run_fn(model: Model, tx: optax.GradientTransformation,
+                      cfg: StepCfg, batch_size: int, n: int,
+                      val_batch_size: int, val_n: int, epochs: int,
+                      multipliers: Optional[Dict[str, float]] = None):
+    """The ENTIRE train.py epoch loop as ONE compiled program: train epochs,
+    per-epoch validation, best-model selection, pruned-fraction reporting —
+    a lax.scan over epochs of lax.scans over batches, with the running best
+    params carried on device.
+
+    Why: the host only needs the metrics *after* the run to print them and
+    the best params to write the checkpoint — so the program fetches nothing
+    until everything is done. One dispatch + one fetch per training run.
+    (On the axon tunnel this matters enormously: the FIRST device->host copy
+    permanently degrades per-dispatch latency to ~RTT (measured 450 -> 47
+    steps/s), so a per-epoch metrics fetch caps training at ~1/10 of the
+    chip; locally it is still strictly fewer round-trips.)
+
+    Returns run(state, images, labels, val_images, val_labels, rng, lrs,
+    prune_masks) -> (state, best_score, best_params, per_epoch_metrics) with
+    lrs a (epochs,) f32 vector (precompute the cosine schedule host-side).
+    Seg losses only (ce2d | dice) — matches reference train.py.
+    """
+    assert cfg.loss in ("ce2d", "dice"), "train_run is the seg train loop"
+    from robocupvision_tpu.data.device_cache import num_batches
+    from robocupvision_tpu.models.layers import is_weight
+    from robocupvision_tpu.ops.metrics import seg_finalize
+
+    step = _train_step_body(model, tx, cfg, multipliers)
+    ev = _eval_step_body(model, cfg)
+    n_batches = num_batches(n, batch_size)
+    pad = n_batches * batch_size - n
+    vn_batches = num_batches(val_n, val_batch_size)
+    weight_names = [nm for nm in model.param_order if is_weight(nm)]
+
+    def pruned_frac(params):
+        near = jnp.float32(0.0)
+        total = 0
+        for nm in weight_names:
+            p = params[nm]
+            m = jnp.max(jnp.abs(p)) if p.size else jnp.float32(0.0)
+            near = near + jnp.sum((jnp.abs(p) < m * 0.01).astype(jnp.float32))
+            total += p.size
+        return near / max(total, 1)
+
+    def run(state: TrainState, images, labels, val_images, val_labels, rng,
+            lrs, prune_masks: Optional[Params]):
+        def train_one_epoch(st, erng, lr):
+            perm_rng, step_rng = jax.random.split(erng)
+            perm = jax.random.permutation(perm_rng, n)
+            if pad > 0:
+                perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+            valid = jnp.concatenate([jnp.ones((n,), jnp.float32),
+                                     jnp.zeros((max(pad, 0),), jnp.float32)])
+
+            def body(s, bi):
+                start = bi * batch_size
+                idx = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
+                s, out = step(s, jnp.take(images, idx, axis=0),
+                              jnp.take(labels, idx, axis=0),
+                              jax.lax.dynamic_slice_in_dim(valid, start,
+                                                           batch_size),
+                              jax.random.fold_in(step_rng, bi), lr,
+                              prune_masks)
+                return s, out
+
+            st, outs = jax.lax.scan(body, st, jnp.arange(n_batches))
+            return st, jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+
+        def val_one_epoch(params):
+            def body(carry, bi):
+                pos = bi * val_batch_size + jnp.arange(val_batch_size)
+                idx = jnp.clip(pos, 0, val_n - 1)
+                bmask = (pos < val_n).astype(jnp.float32)
+                out = ev(params, jnp.take(val_images, idx, axis=0),
+                         jnp.take(val_labels, idx, axis=0), bmask)
+                out.pop("pred", None)
+                return carry, out
+
+            _, outs = jax.lax.scan(body, None, jnp.arange(vn_batches))
+            return jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+
+        def epoch_body(carry, ei):
+            st, best_score, best_params = carry
+            st, tr_out = train_one_epoch(st, jax.random.fold_in(rng, ei),
+                                         lrs[ei])
+            vout = val_one_epoch(st.params)
+            fin = seg_finalize(vout["acc"], cfg.out_size)
+            score = fin["score"]
+            better = score > best_score
+            best_params = jax.tree.map(
+                lambda b, c: jnp.where(better, c, b), best_params, st.params)
+            best_score = jnp.where(better, score, best_score)
+            em = {
+                "train_loss": tr_out["loss"] / max(n_batches, 1),
+                "train_reg": tr_out["reg"] / max(n_batches, 1),
+                "train_pixel_acc": tr_out["correct"] * cfg.out_size * 100.0
+                / jnp.maximum(tr_out["img_cnt"], 1.0),
+                "val_loss": vout["loss"] / max(vn_batches, 1),
+                "pixel_acc": fin["pixel_acc"],
+                "mean_class_acc": fin["mean_class_acc"],
+                "mean_iou": fin["mean_iou"],
+                "score": score,
+                "conf": fin["conf"],
+                "better": better,
+                "pruned": pruned_frac(st.params),
+            }
+            return (st, best_score, best_params), em
+
+        (state, best_score, best_params), ms = jax.lax.scan(
+            epoch_body, (state, jnp.float32(0.0), state.params),
+            jnp.arange(epochs))
+        return state, best_score, best_params, ms
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
 def make_eval_step(model: Model, cfg: StepCfg):
     """Jitted eval: forward + loss + on-device confusion/IoU accumulation."""
+    return jax.jit(_eval_step_body(model, cfg))
+
+
+def _eval_step_body(model: Model, cfg: StepCfg):
     nb, nr, ng, nl = cfg.mask_flags
 
     def step(params: Params, imgs, targets, sample_mask):
@@ -241,7 +390,7 @@ def make_eval_step(model: Model, cfg: StepCfg):
         acc = metrics.seg_batch_stats(pred, targets, cfg.num_classes, sample_mask)
         return {"loss": loss, "acc": acc, "pred": pred}
 
-    return jax.jit(step)
+    return step
 
 
 def init_state(model: Model, tx: optax.GradientTransformation,

@@ -234,3 +234,41 @@ def test_padded_batch_does_not_contaminate_bn_stats():
             np.testing.assert_allclose(np.asarray(s2.params[k]),
                                        np.asarray(s1.params[k]),
                                        rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_remat_step_matches_plain():
+    """StepCfg.remat recomputes activations in the backward pass; the update
+    must be numerically identical to the plain step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import optim, step as tstep
+
+    model = zoo.make("robo_unet", planes=4, depth=3, levels=1, belly_size=2,
+                     belly_planes=8)
+    tx = optim.adam()
+    cfg = tstep.StepCfg(num_classes=5, out_size=1.0 / (48 * 64))
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.standard_normal((4, 48, 64, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, 5, (4, 48, 64)), jnp.int32)
+    mask = jnp.ones((4,), jnp.float32)
+    outs = {}
+    for remat in ("none", "dots", "full"):
+        step = tstep.make_train_step(model, tx,
+                                     dataclasses.replace(cfg, remat=remat),
+                                     donate=False)
+        st = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+        st, out = step(st, imgs, tgt, mask, jax.random.PRNGKey(1),
+                       jnp.float32(1e-3), None)
+        outs[remat] = (st, out)
+    for remat in ("dots", "full"):
+        assert abs(float(outs[remat][1]["loss"])
+                   - float(outs["none"][1]["loss"])) < 1e-6
+        for k in outs["none"][0].params:
+            np.testing.assert_allclose(
+                np.asarray(outs[remat][0].params[k]),
+                np.asarray(outs["none"][0].params[k]), atol=1e-6, rtol=1e-5,
+                err_msg=k)
