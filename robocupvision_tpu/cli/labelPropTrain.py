@@ -121,8 +121,14 @@ def main(argv=None) -> int:
         tr.set_params(params)
 
     save_path = "pth/bestModelLP" + fine_str + prune_str + ".pth"
+    # loss curves, like the reference's LinePlotter (labelPropTrain.py:143,221,303)
+    from robocupvision_tpu.utils.plotting import LinePlotter
+
+    plotter = LinePlotter("main")
     best = run_plateau_training(tr, epochs, lr, save_path, patience=patience,
-                                prune_masks=prune_masks, select="loss")
+                                prune_masks=prune_masks, select="loss",
+                                plotter=plotter)
+    plotter.render()
     print("Optimization finished Validation Loss: %.4f Total Acc: %.2f "
           "Mean Class Acc: %.2f IoU: %.2f"
           % (best["loss"], best.get("pixel_acc", 0),

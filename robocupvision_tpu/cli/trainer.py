@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=os.environ.get("ROBOCUP_DATA", "./data"))
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batchSize", type=int, default=None)
+    p.add_argument("--plotPort", type=int, default=None,
+                   help="Serve live loss plots on this port (0 = ephemeral; "
+                        "the reference's Visdom used 8097)")
     return p
 
 
@@ -120,8 +123,18 @@ def main(argv=None) -> int:
     save_path = naming.legacy_model_name(flags, seg=True, finetuned=opt.finetune,
                                          pruned="Pruned" if opt.prune else "",
                                          camera=cam_save)
+    # live/logged loss curves — the reference's Visdom LinePlotter("RoboCup")
+    # (trainer.py:193,241,299); `--plotPort N` serves the live dashboard
+    from robocupvision_tpu.utils.plotting import LinePlotter
+
+    plotter = LinePlotter("RoboCup")
+    if opt.plotPort is not None:
+        srv = plotter.serve(opt.plotPort)
+        print(f"Live plots: http://127.0.0.1:{srv.server_address[1]}")
     best = run_plateau_training(tr, epochs, lr, save_path, patience=patience,
-                                prune_masks=prune_masks, select="loss")
+                                prune_masks=prune_masks, select="loss",
+                                plotter=plotter)
+    plotter.render()
     print("Optimization finished Validation Loss: %.4f Pixel Acc: %.2f "
           "Mean Class Acc: %.2f IoU: %.2f"
           % (best["loss"], best.get("pixel_acc", 0),

@@ -32,12 +32,15 @@ def run_plateau_training(
     label: str = "",
     save_fn: Optional[Callable[[Dict], None]] = None,
     load_fn: Optional[Callable[[], Optional[Dict]]] = None,
+    plotter=None,
 ) -> Dict:
     """Runs the epoch loop; returns the best validation metrics dict.
 
     ``save_fn(params)`` / ``load_fn() -> params|None`` override the default
     single-file checkpointing (classVal writes the reference's two-file
-    bestModelB/bestClassB layout through these)."""
+    bestModelB/bestClassB layout through these). ``plotter``: a
+    utils.plotting.LinePlotter — train/val loss curves are streamed to it
+    like the reference's Visdom plots (trainer.py:241,299)."""
 
     def rollback():
         print("Best Model reloaded")
@@ -57,6 +60,9 @@ def run_plateau_training(
         print("Epoch [%d] %sTraining Loss: %.4f Training Acc: %.2f"
               % (epoch + 1, label, res.loss, res.pixel_acc))
         val = tr.valid_epoch()
+        if plotter is not None:
+            plotter.plot("loss", "train", epoch + 1, res.loss)
+            plotter.plot("loss", "val", epoch + 1, val["loss"])
         if "pixel_acc" in val:
             print("Epoch [%d] %sValidation Loss: %.4f Validation Pixel Acc: "
                   "%.2f Mean Class Acc: %.2f IoU: %.2f"

@@ -1,14 +1,20 @@
 """Training-curve logging — the Visdom LinePlotter's replacement.
 
-The reference streams loss curves to a Visdom server (visualize.py:4-21).
-Here ``LinePlotter`` keeps the same ``plot(var, split, x, y)`` call surface
-but appends to TSV files (always) and renders PNG charts (when matplotlib is
-available) — no server, artifacts live next to the checkpoints.
+The reference streams loss curves to a Visdom server (visualize.py:4-21,
+port 8097). Here ``LinePlotter`` keeps the same ``plot(var, split, x, y)``
+call surface and offers three sinks:
+
+- TSV files (always) and PNG charts via ``render()`` (when matplotlib is
+  available) — artifacts live next to the checkpoints;
+- ``serve(port=8097)`` — a dependency-free live view: a background
+  http.server renders the in-memory series as auto-refreshing inline-SVG
+  charts, the functional equivalent of the reference's Visdom dashboard.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 from collections import defaultdict
 from typing import Dict, List, Tuple
 
@@ -29,6 +35,70 @@ class LinePlotter:
             if write_header:
                 f.write("split\tx\ty\n")
             f.write(f"{split_name}\t{x}\t{y}\n")
+
+    # -- live view (Visdom analog) -------------------------------------------
+
+    _COLORS = ["#1f77b4", "#d62728", "#2ca02c", "#9467bd", "#ff7f0e"]
+
+    def _svg(self, var: str, w: int = 640, h: int = 320) -> str:
+        parts = [f'<h3>{var}</h3><svg width="{w}" height="{h}" '
+                 f'style="background:#fafafa;border:1px solid #ddd">']
+        splits = self.series[var]
+        pts_all = [p for pts in splits.values() for p in pts]
+        if pts_all:
+            xs = [p[0] for p in pts_all]
+            ys = [p[1] for p in pts_all]
+            x0, x1 = min(xs), max(xs)
+            y0, y1 = min(ys), max(ys)
+            sx = (w - 60) / max(x1 - x0, 1e-12)
+            sy = (h - 40) / max(y1 - y0, 1e-12)
+            for ci, (split, pts) in enumerate(sorted(splits.items())):
+                col = self._COLORS[ci % len(self._COLORS)]
+                poly = " ".join(
+                    f"{40 + (x - x0) * sx:.1f},{h - 20 - (y - y0) * sy:.1f}"
+                    for x, y in pts)
+                parts.append(f'<polyline points="{poly}" fill="none" '
+                             f'stroke="{col}" stroke-width="1.5"/>')
+                parts.append(f'<text x="{w - 120}" y="{20 + 16 * ci}" '
+                             f'fill="{col}">{split}</text>')
+            parts.append(f'<text x="4" y="{h - 24}" font-size="10">'
+                         f'{y0:.4g}</text>')
+            parts.append(f'<text x="4" y="14" font-size="10">{y1:.4g}</text>')
+        parts.append("</svg>")
+        return "".join(parts)
+
+    def _page(self) -> str:
+        charts = "".join(self._svg(v) for v in sorted(self.series))
+        return ("<html><head><meta http-equiv='refresh' content='2'>"
+                f"<title>{self.env}</title></head><body>"
+                f"<h2>robocupvision_tpu — {self.env}</h2>"
+                f"{charts or '<p>no data yet</p>'}</body></html>")
+
+    def serve(self, port: int = 8097):
+        """Start the live dashboard (reference visualize.py uses Visdom on
+        port 8097). Returns the http.server instance; call ``.shutdown()``
+        to stop. ``port=0`` picks an ephemeral port (``server_address[1]``).
+        """
+        import http.server
+
+        plotter = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (http.server API)
+                body = plotter._page().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # silence request logging
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        return srv
 
     def render(self) -> List[str]:
         """Write one PNG per variable; returns the file paths."""

@@ -26,6 +26,7 @@ def env(tmp_path_factory):
     return {"root": root, "work": work}
 
 
+@pytest.mark.slow
 def test_class_then_seg_then_prune_pipeline(env, monkeypatch, capsys):
     monkeypatch.chdir(env["work"])
     from robocupvision_tpu.cli import classTrainer, pruner, trainer
@@ -63,6 +64,7 @@ def test_class_then_seg_then_prune_pipeline(env, monkeypatch, capsys):
     assert osp.exists("pth/bestModelSegbothFinetunedPruned2.pth")
 
 
+@pytest.mark.slow
 def test_label_prop_train_and_valid(env, monkeypatch, capsys):
     monkeypatch.chdir(env["work"])
     from robocupvision_tpu.cli import labelPropTrain, validLabelProp
@@ -101,6 +103,7 @@ def test_make_lp_images(env, monkeypatch, capsys):
     assert osp.exists("output/LPImages/0_lp.png")
 
 
+@pytest.mark.slow
 def test_class_val_and_obj_det_eval(env, monkeypatch, capsys):
     monkeypatch.chdir(env["work"])
     from robocupvision_tpu.cli import classVal, objDetEval

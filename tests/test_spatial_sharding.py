@@ -34,6 +34,7 @@ def _vga_batch(b):
 
 
 @pytest.mark.parametrize("spatial,b", [(2, 4), (4, 2)])
+@pytest.mark.slow
 def test_vga_sharded_step_matches_single_device(spatial, b):
     model = _tiny_vga_model()
     cfg = tstep.StepCfg(num_classes=5, augment=False,
@@ -80,6 +81,7 @@ def test_indivisible_height_and_batch_raise_clear_errors():
         pmesh.make_mesh(8, spatial=3)  # devices not divisible
 
 
+@pytest.mark.slow
 def test_mesh_trainer_loss_curve_matches_single_device():
     from robocupvision_tpu.data.device_cache import DeviceCache
     from robocupvision_tpu.train.loop import Trainer

@@ -118,3 +118,28 @@ def test_line_plotter(tmp_path):
     assert len(lines) == 11  # header + 10 points
     pngs = pl.render()
     assert pngs and osp.exists(pngs[0])
+
+
+def test_line_plotter_live_server(tmp_path):
+    """The serve() live view (Visdom analog, reference visualize.py:4-21)
+    renders the current series as SVG over HTTP."""
+    import urllib.request
+
+    from robocupvision_tpu.utils.plotting import LinePlotter
+
+    pl = LinePlotter("live", out_dir=str(tmp_path))
+    srv = pl.serve(port=0)
+    try:
+        port = srv.server_address[1]
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+        assert "no data yet" in page
+        for e in range(4):
+            pl.plot("loss", "train", e, 1.0 / (e + 1))
+            pl.plot("loss", "val", e, 1.5 / (e + 1))
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+        assert "<svg" in page and page.count("<polyline") == 2
+        assert "train" in page and "val" in page
+    finally:
+        srv.shutdown()

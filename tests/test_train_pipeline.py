@@ -351,6 +351,7 @@ def test_streaming_overlaps_decode_with_compute():
     assert wall < 0.75 * serial, f"no overlap: wall={wall:.3f}s serial={serial:.3f}s"
 
 
+@pytest.mark.slow
 def test_train_cli_is_deterministic(data_root, tmp_path, monkeypatch):
     """Two identical runs produce bit-identical checkpoints (fixed seed
     12345678, device-side shuffling, scan epochs)."""
@@ -370,6 +371,7 @@ def test_train_cli_is_deterministic(data_root, tmp_path, monkeypatch):
         np.testing.assert_array_equal(outs[0][k], outs[1][k], err_msg=k)
 
 
+@pytest.mark.slow
 def test_train_cli_dice_and_unet_variants(data_root, tmp_path, monkeypatch):
     """--useDice and --UNet (vanilla maxpool U-Net) train end to end."""
     monkeypatch.chdir(tmp_path)
@@ -384,6 +386,7 @@ def test_train_cli_dice_and_unet_variants(data_root, tmp_path, monkeypatch):
     assert osp.exists("checkpoints/bestUNet.weights")
 
 
+@pytest.mark.slow
 def test_train_cli_transfer_sweep(data_root, tmp_path, monkeypatch, capsys):
     """--finetune --transfer runs the 4-level sweep with 10x-LR encoder groups
     and writes T{n}-suffixed checkpoints that test.py's --transfer glob finds."""
