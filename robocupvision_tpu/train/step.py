@@ -181,7 +181,10 @@ def _train_step_body(model: Model, tx: optax.GradientTransformation,
         trainable = apply_updates(trainable, direction, lr, multipliers)
         new_params = {**trainable, **bn_state, **mut}
 
-        pred = jnp.argmax(logits, axis=-1)
+        # argmax over a non-minor axis: avoids XLA:TPU's packed-index argmax
+        # machinery on minor-dim-1 s32 buffers (128x lane padding); same
+        # values, same first-max tie-breaking
+        pred = jnp.argmax(jnp.moveaxis(logits, -1, 1), axis=1)
         m = sample_mask.astype(jnp.float32)
         if cfg.loss == "ce":
             correct = jnp.sum((pred == targets).astype(jnp.float32) * m)
@@ -381,7 +384,10 @@ def _eval_step_body(model: Model, cfg: StepCfg):
             # the reference's valid() adds the L1 term too (train.py:117-124)
             trainable, _ = L.split_params(params)
             loss = loss + cfg.l1_decay * losses.l1_regularization(trainable)
-        pred = jnp.argmax(logits, axis=-1)
+        # argmax over a non-minor axis: avoids XLA:TPU's packed-index argmax
+        # machinery on minor-dim-1 s32 buffers (128x lane padding); same
+        # values, same first-max tie-breaking
+        pred = jnp.argmax(jnp.moveaxis(logits, -1, 1), axis=1)
         if cfg.loss == "ce":
             conf, correct = metrics.class_batch_stats(pred, targets,
                                                       cfg.num_classes, sample_mask)
