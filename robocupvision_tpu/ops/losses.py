@@ -29,7 +29,9 @@ def cross_entropy_2d(logits: jax.Array, targets: jax.Array,
     # gather (+ its scatter-add backward) dominated the train step
     # (measured 54 -> 92 steps/s b64 QVGA from this change alone; PERF.md)
     oh = jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
-    nll = -jnp.sum(logp * oh, axis=-1)
+    # where() instead of logp*oh: avoids -inf * 0 -> NaN when a logit
+    # saturates (bf16 divergence) and some class's log-prob is -inf
+    nll = -jnp.sum(jnp.where(oh > 0, logp, 0.0), axis=-1)
     if class_weights is None:
         w = jnp.ones((num_classes,), jnp.float32)
     else:

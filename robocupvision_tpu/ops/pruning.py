@@ -115,6 +115,25 @@ def count_zero_weights(params: Params, order: List[str]) -> float:
     return near_zero / max(total, 1)
 
 
+def near_zero_fraction_traceable(params, order: List[str]):
+    """count_zero_weights as jnp ops (jit-traceable): fraction of trainable
+    weights below 1% of per-tensor max-abs. One definition shared by
+    Trainer.pruned_fraction and the fused train run — keep in sync with
+    :func:`count_zero_weights` above (reference model.py:59-66)."""
+    import jax.numpy as jnp
+
+    near = jnp.float32(0.0)
+    total = 0
+    for name in order:
+        if not is_weight(name):
+            continue
+        p = params[name]
+        m = jnp.max(jnp.abs(p)) if p.size else jnp.float32(0.0)
+        near = near + jnp.sum((jnp.abs(p) < m * 0.01).astype(jnp.float32))
+        total += p.size
+    return near / max(total, 1)
+
+
 def mask_gradients(grads: Params, masks: Dict[str, np.ndarray]) -> Params:
     """Zero gradient entries at pruned positions (jit-friendly)."""
     import jax.numpy as jnp

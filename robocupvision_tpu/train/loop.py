@@ -75,6 +75,7 @@ class Trainer:
                                                 donate=False)
         self.eval_step = tstep.make_eval_step(model, cfg)
         self.rng = jax.random.PRNGKey(seed)
+        self._seed = seed
         self.state: Optional[tstep.TrainState] = None
         self.scan_epochs = scan_epochs
         self._epoch_fn = None
@@ -126,6 +127,8 @@ class Trainer:
         fetch the scalars in ONE transfer. Fetching the raw list costs a
         round-trip per leaf on remote-dispatch transports (measured ~5 ms
         each over the axon tunnel — 0.6 s/epoch at 32 batches)."""
+        if not pending:
+            return None
         fn = self._reducers.get("fn")
         if fn is None:
             # one jit object; it re-specializes per pytree structure/length
@@ -161,6 +164,8 @@ class Trainer:
     def _train_epoch_result(self, pending) -> EpochResult:
         n_batches = len(pending)
         tot = self._reduce_pending(pending)
+        if tot is None:
+            return EpochResult(loss=0.0, reg=0.0, pixel_acc=0.0, extra={})
         return EpochResult(
             loss=float(tot["loss"]) / max(n_batches, 1),
             reg=float(tot["reg"]) / max(n_batches, 1),
@@ -188,8 +193,12 @@ class Trainer:
         lr_arr = jnp.float32(lr)
         host_rng = None
         if shuffle:
-            seed = int(jax.random.randint(self._next_rng(), (), 0, 2**31 - 1))
-            host_rng = np.random.default_rng(seed)
+            # host-side generator: no eager device op / RTT per epoch (the
+            # jax stream stays untouched; determinism comes from the shared
+            # Trainer seed)
+            if not hasattr(self, "_host_rng"):
+                self._host_rng = np.random.default_rng(self._seed)
+            host_rng = self._host_rng
         sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -240,7 +249,10 @@ class Trainer:
         if prune_masks is not None:
             masks_dev = {k: jnp.asarray(v, jnp.float32)
                          for k, v in prune_masks.items()}
-        key = (epochs, prune_masks is not None)
+        # the compiled run bakes dataset sizes and batch size in as static
+        # constants — key on all of them (callers may swap caches)
+        key = (epochs, prune_masks is not None, self.train_cache.n,
+               self.val_cache.n, self.batch_size)
         fn = self._run_fns.get(key)
         if fn is None:
             fn = tstep.make_train_run_fn(
@@ -268,6 +280,11 @@ class Trainer:
             pending.append(out)
         n_batches = len(pending)
         tot = self._reduce_pending(pending)
+        if tot is None:  # empty val cache
+            if self.cfg.loss == "ce":
+                return {"loss": 0.0, "conf": None, "acc": 0.0}
+            return {"loss": 0.0, "conf": None, "pixel_acc": 0.0,
+                    "mean_class_acc": 0.0, "mean_iou": 0.0, "score": 0.0}
         tot_loss = float(tot["loss"])
         if self.cfg.loss == "ce":
             return {"loss": tot_loss / max(n_batches, 1),
@@ -290,20 +307,9 @@ class Trainer:
         a full params_numpy() costs a round-trip per tensor over
         remote-dispatch transports)."""
         if self._pruned_frac_fn is None:
-            from robocupvision_tpu.models.layers import is_weight
+            from robocupvision_tpu.ops.pruning import near_zero_fraction_traceable
 
-            names = [n for n in self.model.param_order if is_weight(n)]
-
-            def frac(params):
-                near = jnp.float32(0.0)
-                total = 0
-                for n in names:
-                    p = params[n]
-                    m = jnp.max(jnp.abs(p)) if p.size else jnp.float32(0.0)
-                    near = near + jnp.sum(
-                        (jnp.abs(p) < m * 0.01).astype(jnp.float32))
-                    total += p.size
-                return near / max(total, 1)
-
-            self._pruned_frac_fn = jax.jit(frac)
+            order = self.model.param_order
+            self._pruned_frac_fn = jax.jit(
+                lambda params: near_zero_fraction_traceable(params, order))
         return float(self._pruned_frac_fn(self.state.params))

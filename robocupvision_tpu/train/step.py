@@ -219,8 +219,16 @@ def make_epoch_fn(model: Model, tx: optax.GradientTransformation, cfg: StepCfg,
     padding, excluded from stats via the sample mask.
     """
     step = _train_step_body(model, tx, cfg, multipliers)
-    total = n_batches * batch_size
-    pad = total - n
+    epoch_scan = _make_epoch_scan(step, batch_size, n_batches, n)
+    return jax.jit(epoch_scan, donate_argnums=(0,))
+
+
+def _make_epoch_scan(step, batch_size: int, n_batches: int, n: int):
+    """One scanned training epoch: shuffle, pad, gather, step, metric-sum —
+    shared by make_epoch_fn and make_train_run_fn so the two paths can never
+    diverge. Returns epoch(state, images, labels, rng, lr, prune_masks) ->
+    (state, summed metric dict)."""
+    pad = n_batches * batch_size - n
 
     def epoch(state: TrainState, images, labels, rng, lr,
               prune_masks: Optional[Params]):
@@ -245,7 +253,7 @@ def make_epoch_fn(model: Model, tx: optax.GradientTransformation, cfg: StepCfg,
         state, outs = jax.lax.scan(body, state, jnp.arange(n_batches))
         return state, jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
 
-    return jax.jit(epoch, donate_argnums=(0,))
+    return epoch
 
 
 def make_train_run_fn(model: Model, tx: optax.GradientTransformation,
@@ -272,50 +280,18 @@ def make_train_run_fn(model: Model, tx: optax.GradientTransformation,
     """
     assert cfg.loss in ("ce2d", "dice"), "train_run is the seg train loop"
     from robocupvision_tpu.data.device_cache import num_batches
-    from robocupvision_tpu.models.layers import is_weight
     from robocupvision_tpu.ops.metrics import seg_finalize
+    from robocupvision_tpu.ops.pruning import near_zero_fraction_traceable
 
     step = _train_step_body(model, tx, cfg, multipliers)
     ev = _eval_step_body(model, cfg)
     n_batches = num_batches(n, batch_size)
-    pad = n_batches * batch_size - n
     vn_batches = num_batches(val_n, val_batch_size)
-    weight_names = [nm for nm in model.param_order if is_weight(nm)]
-
-    def pruned_frac(params):
-        near = jnp.float32(0.0)
-        total = 0
-        for nm in weight_names:
-            p = params[nm]
-            m = jnp.max(jnp.abs(p)) if p.size else jnp.float32(0.0)
-            near = near + jnp.sum((jnp.abs(p) < m * 0.01).astype(jnp.float32))
-            total += p.size
-        return near / max(total, 1)
+    train_one_epoch = _make_epoch_scan(step, batch_size, n_batches, n)
+    param_order = model.param_order
 
     def run(state: TrainState, images, labels, val_images, val_labels, rng,
             lrs, prune_masks: Optional[Params]):
-        def train_one_epoch(st, erng, lr):
-            perm_rng, step_rng = jax.random.split(erng)
-            perm = jax.random.permutation(perm_rng, n)
-            if pad > 0:
-                perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
-            valid = jnp.concatenate([jnp.ones((n,), jnp.float32),
-                                     jnp.zeros((max(pad, 0),), jnp.float32)])
-
-            def body(s, bi):
-                start = bi * batch_size
-                idx = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
-                s, out = step(s, jnp.take(images, idx, axis=0),
-                              jnp.take(labels, idx, axis=0),
-                              jax.lax.dynamic_slice_in_dim(valid, start,
-                                                           batch_size),
-                              jax.random.fold_in(step_rng, bi), lr,
-                              prune_masks)
-                return s, out
-
-            st, outs = jax.lax.scan(body, st, jnp.arange(n_batches))
-            return st, jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
-
         def val_one_epoch(params):
             def body(carry, bi):
                 pos = bi * val_batch_size + jnp.arange(val_batch_size)
@@ -331,8 +307,9 @@ def make_train_run_fn(model: Model, tx: optax.GradientTransformation,
 
         def epoch_body(carry, ei):
             st, best_score, best_params = carry
-            st, tr_out = train_one_epoch(st, jax.random.fold_in(rng, ei),
-                                         lrs[ei])
+            st, tr_out = train_one_epoch(st, images, labels,
+                                         jax.random.fold_in(rng, ei),
+                                         lrs[ei], prune_masks)
             vout = val_one_epoch(st.params)
             fin = seg_finalize(vout["acc"], cfg.out_size)
             score = fin["score"]
@@ -352,7 +329,7 @@ def make_train_run_fn(model: Model, tx: optax.GradientTransformation,
                 "score": score,
                 "conf": fin["conf"],
                 "better": better,
-                "pruned": pruned_frac(st.params),
+                "pruned": near_zero_fraction_traceable(st.params, param_order),
             }
             return (st, best_score, best_params), em
 

@@ -25,10 +25,13 @@ class LinePlotter:
         self.out_dir = out_dir
         self.series: Dict[str, Dict[str, List[Tuple[float, float]]]] = \
             defaultdict(lambda: defaultdict(list))
+        # serve() handler threads read series while the trainer appends
+        self._lock = threading.Lock()
         os.makedirs(out_dir, exist_ok=True)
 
     def plot(self, var_name: str, split_name: str, x: float, y: float) -> None:
-        self.series[var_name][split_name].append((float(x), float(y)))
+        with self._lock:
+            self.series[var_name][split_name].append((float(x), float(y)))
         path = os.path.join(self.out_dir, f"{self.env}_{var_name}.tsv")
         write_header = not os.path.exists(path)
         with open(path, "a") as f:
@@ -40,10 +43,14 @@ class LinePlotter:
 
     _COLORS = ["#1f77b4", "#d62728", "#2ca02c", "#9467bd", "#ff7f0e"]
 
-    def _svg(self, var: str, w: int = 640, h: int = 320) -> str:
+    def _snapshot(self) -> Dict[str, Dict[str, List[Tuple[float, float]]]]:
+        with self._lock:
+            return {v: {s: list(pts) for s, pts in sp.items()}
+                    for v, sp in self.series.items()}
+
+    def _svg(self, var: str, splits, w: int = 640, h: int = 320) -> str:
         parts = [f'<h3>{var}</h3><svg width="{w}" height="{h}" '
                  f'style="background:#fafafa;border:1px solid #ddd">']
-        splits = self.series[var]
         pts_all = [p for pts in splits.values() for p in pts]
         if pts_all:
             xs = [p[0] for p in pts_all]
@@ -68,7 +75,8 @@ class LinePlotter:
         return "".join(parts)
 
     def _page(self) -> str:
-        charts = "".join(self._svg(v) for v in sorted(self.series))
+        series = self._snapshot()
+        charts = "".join(self._svg(v, series[v]) for v in sorted(series))
         return ("<html><head><meta http-equiv='refresh' content='2'>"
                 f"<title>{self.env}</title></head><body>"
                 f"<h2>robocupvision_tpu — {self.env}</h2>"
@@ -110,7 +118,7 @@ class LinePlotter:
         except ImportError:  # pragma: no cover
             return []
         out = []
-        for var, splits in self.series.items():
+        for var, splits in self._snapshot().items():
             fig, ax = plt.subplots(figsize=(6, 4))
             for split, pts in splits.items():
                 xs, ys = zip(*pts)
