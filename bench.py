@@ -68,7 +68,21 @@ def bench_vga_inference():
     pfn = jax.jit(pi.infer)
     fps_packed = 1.0 / _time(pfn, x1, iters=300)
     fps_packed_b4 = 4.0 / _time(pfn, x4, iters=100)
-    return fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4
+
+    # serving-loop rate: infer + full uint8 label readback per frame (the
+    # robot consumes the mask on host; int32 readback would be 4x the bytes)
+    import numpy as np
+    import time as _t
+
+    pfn8 = jax.jit(pi.infer_u8)
+    np.asarray(pfn8(x1))  # warm + first-fetch stall
+    def serve_once():
+        t0 = _t.perf_counter()
+        for _ in range(50):
+            lab = np.asarray(pfn8(x1))
+        return 50 / (_t.perf_counter() - t0)
+    fps_serve = sorted(serve_once() for _ in range(3))[1]
+    return fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4, fps_serve
 
 
 def bench_train_steps(iters: int = 50):
@@ -328,8 +342,8 @@ if __name__ == "__main__":
         _run_stage(sys.argv[2])
         sys.exit(0)
 
-    fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4 = \
-        _stage_subprocess("vga", fallback=[0.0] * 5)
+    fps_f32, fps_bf16, fps_b4, fps_packed, fps_packed_b4, fps_serve = \
+        _stage_subprocess("vga", fallback=[0.0] * 6)
     steps = _stage_subprocess("train", fallback={
         "float32": 0.0, "float32_packed": 0.0, "float32_remat": 0.0,
         "bfloat16": 0.0, "bfloat16_packed": 0.0, "bfloat16_remat": 0.0,
@@ -352,6 +366,7 @@ if __name__ == "__main__":
         "extra": {
             "fps_packed_bf16_b1": round(fps_packed, 2),
             "fps_packed_bf16_b4_throughput": round(fps_packed_b4, 2),
+            "fps_serving_incl_u8_label_readback": round(fps_serve, 2),
             "fps_bf16_b1_standard_graph": round(fps_bf16, 2),
             "fps_f32_b1": round(fps_f32, 2),
             "fps_bf16_b4_throughput": round(fps_b4, 2),

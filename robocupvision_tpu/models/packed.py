@@ -193,6 +193,13 @@ class PackedInfer:
                          axis=-1).astype(jnp.int32)
         return depth_to_space(lab, 4)[..., 0]  # 16 phases == f^2 * (C=1)
 
+    def infer_u8(self, x: jax.Array) -> jax.Array:
+        """Like :meth:`infer` but uint8 labels (num_classes < 256): 4x fewer
+        device->host bytes — the readback is a real part of serving latency
+        (a VGA int32 map is 1.2 MB/frame; the robot consumes uint8 anyway,
+        cf. the engine's uint8 label maps)."""
+        return self.infer(x).astype(jnp.uint8)
+
     # -- internals ----------------------------------------------------------
 
     def _pblock(self, name: str, x: jax.Array, relu_before_bn: bool) -> jax.Array:

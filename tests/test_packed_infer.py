@@ -180,3 +180,14 @@ def test_packed_train_step_matches_standard():
         # argmax can flip on near-tied random-init logits (reassociation)
         assert float(o_std["correct"]) == pytest.approx(
             float(o_pk["correct"]), abs=0.002 * 6 * 48 * 64)
+
+
+def test_packed_infer_u8_matches_int32():
+    model = zoo.make("robo_unet", no_scale=True)
+    params = model.init(jax.random.PRNGKey(0))
+    pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+    lab32 = np.asarray(pi.infer(x))
+    lab8 = np.asarray(pi.infer_u8(x))
+    assert lab8.dtype == np.uint8
+    np.testing.assert_array_equal(lab32.astype(np.uint8), lab8)
