@@ -87,12 +87,6 @@ def main(argv=None) -> int:
     if opt.packed:
         from robocupvision_tpu.models import packed as packed_mod
 
-        if opt.UNet or opt.v2:
-            print("--packed supports the default ROBO-UNet architecture only "
-                  "(not --UNet/--v2); using the standard graph")
-            opt.packed = False
-
-    if opt.packed:
         # f32: measured the same speed as bf16 on v5e (both bound by fixed
         # costs, PERF.md) and keeps masks byte-identical to the plain path
         pi = packed_mod.build_packed_infer(model, params_np,

@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                     ("--topCam", "Use Top Camera images only"),
                     ("--bottomCam", "Use Bottom Camera images only"),
                     ("--dump", "Dump model parameters"),
-                    ("--useCuda", "(accepted for compatibility; TPU is used)")]:
+                    ("--useCuda", "(accepted for compatibility; TPU is used)"),
+                    ("--packed", "lane-packed inference graph "
+                     "(exact rewrite; framework extension)")]:
         p.add_argument(flag, help=h, action="store_true", default=False)
     p.add_argument("--root", type=str, default=os.environ.get("ROBOCUP_DATA", "./data"))
     return p
@@ -105,10 +107,22 @@ def main(argv=None) -> int:
 
     table = mask_label_table(opt.noBall, opt.noRobot, opt.noGoal, opt.noLine)
 
-    @jax.jit
-    def infer(params, x):
-        logits, _ = model.apply(params, x, train=False)
-        return jnp.argmax(logits, axis=-1)
+    if opt.packed:
+        from robocupvision_tpu.models import packed as packed_mod
+
+        # f32 keeps label maps byte-identical to the plain path
+        pi = (packed_mod.build_packed_infer(model, params_np, jnp.float32)
+              if opt.v2 else
+              packed_mod.build_packed_pb_fcn(model, params_np, jnp.float32))
+        packed_infer = jax.jit(pi.infer)
+
+        def infer(params, x):
+            return packed_infer(x)
+    else:
+        @jax.jit
+        def infer(params, x):
+            logits, _ = model.apply(params, x, train=False)
+            return jnp.argmax(logits, axis=-1)
 
     acc = SegAccum.zero(num_classes)
     t_total = 0.0

@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--labSize", help="Override working resolution H W "
                    "(testing aid; the reference sizes are the default)",
                    type=int, nargs=2, default=None)
+    p.add_argument("--chunkEpochs", help="Epochs per device dispatch: prints "
+                   "stream and the best checkpoint is written after every "
+                   "chunk (durable mid-run, reference train.py:197-201 "
+                   "semantics at chunk granularity); 0 = one dispatch for "
+                   "the whole run", type=int, default=25)
     return p
 
 
@@ -180,27 +185,37 @@ def main(argv=None) -> int:
                 lrs.append(sched.get_lr()[0])
                 sched.step()
 
-            # the whole epoch loop runs as one device program (one dispatch,
-            # one metrics fetch); prints stream afterwards, identically
-            best_loss, best_params, ms = tr.train_run(epochs, lrs)
-            for epoch in range(epochs):
-                lr = lrs[epoch]
-                print("[Epoch Train %d/%d lr: %.4f][Losses: reg %f, pruned %f, "
-                      "total %f][Pixel Acc: %f]"
-                      % (epoch + 1, epochs, lr / learning_rate,
-                         ms["train_reg"][epoch], ms["pruned"][epoch],
-                         ms["train_loss"][epoch], ms["train_pixel_acc"][epoch]))
-                print("[Epoch Val %d/%d lr: %.4f][Losses: total %f]"
-                      "[Pixel Acc: %f, Mean Class Acc: %f, Mean IoU: %f]"
-                      % (epoch + 1, epochs, lr / learning_rate,
-                         ms["val_loss"][epoch], ms["pixel_acc"][epoch],
-                         ms["mean_class_acc"][epoch], ms["mean_iou"][epoch]))
-                if ms["better"][epoch]:
-                    print("Saving best model")
-                    print(np.array_str(ms["conf"][epoch], precision=2,
-                                       suppress_small=True))
+            # the epoch loop runs as scanned device programs in
+            # --chunkEpochs-sized dispatches; per-epoch prints stream after
+            # each chunk and the best checkpoint is written the moment a
+            # chunk improves it — a killed run keeps its best weights
+            path = naming.train_ckpt_name(flags, transfer)
+
+            def on_chunk(off, ms, chunk_best):
+                for i in range(len(ms["better"])):
+                    epoch = off + i
+                    lr = lrs[epoch]
+                    print("[Epoch Train %d/%d lr: %.4f][Losses: reg %f, "
+                          "pruned %f, total %f][Pixel Acc: %f]"
+                          % (epoch + 1, epochs, lr / learning_rate,
+                             ms["train_reg"][i], ms["pruned"][i],
+                             ms["train_loss"][i], ms["train_pixel_acc"][i]))
+                    print("[Epoch Val %d/%d lr: %.4f][Losses: total %f]"
+                          "[Pixel Acc: %f, Mean Class Acc: %f, Mean IoU: %f]"
+                          % (epoch + 1, epochs, lr / learning_rate,
+                             ms["val_loss"][i], ms["pixel_acc"][i],
+                             ms["mean_class_acc"][i], ms["mean_iou"][i]))
+                    if ms["better"][i]:
+                        print("Saving best model")
+                        print(np.array_str(ms["conf"][i], precision=2,
+                                           suppress_small=True))
+                if chunk_best is not None:
+                    checkpoint.save(path, model.registry, chunk_best)
+
+            best_loss, best_params, ms = tr.train_run(
+                epochs, lrs, chunk_epochs=opt.chunkEpochs or None,
+                on_chunk=on_chunk)
             if best_params is not None:
-                path = naming.train_ckpt_name(flags, transfer)
                 checkpoint.save(path, model.registry, best_params)
             best_loss_final = best_loss
 
@@ -219,22 +234,28 @@ def main(argv=None) -> int:
                              batch_size)
                 tr.set_params(params)
                 print("Finetuning")
+
+                def on_prune_chunk(off, ms, chunk_best):
+                    for i in range(len(ms["better"])):
+                        epoch = off + i
+                        print("[Epoch Train %d/25][pruned %f, total %f]"
+                              "[Pixel Acc: %f]"
+                              % (epoch + 1, ms["pruned"][i],
+                                 ms["train_loss"][i], ms["train_pixel_acc"][i]))
+                        print("[Epoch Val %d/25][total %f][Pixel Acc: %f, "
+                              "Mean Class Acc: %f, Mean IoU: %f]"
+                              % (epoch + 1, ms["val_loss"][i],
+                                 ms["pixel_acc"][i], ms["mean_class_acc"][i],
+                                 ms["mean_iou"][i]))
+                        if ms["better"][i]:
+                            print("Saving best model")
+
                 best_loss, best_params, ms = tr.train_run(
-                    25, [learning_rate / 20] * 25, prune_masks=masks)
-                best_epoch = -1
-                for epoch in range(25):
-                    print("[Epoch Train %d/25][pruned %f, total %f][Pixel Acc: %f]"
-                          % (epoch + 1, ms["pruned"][epoch],
-                             ms["train_loss"][epoch],
-                             ms["train_pixel_acc"][epoch]))
-                    print("[Epoch Val %d/25][total %f][Pixel Acc: %f, "
-                          "Mean Class Acc: %f, Mean IoU: %f]"
-                          % (epoch + 1, ms["val_loss"][epoch],
-                             ms["pixel_acc"][epoch],
-                             ms["mean_class_acc"][epoch], ms["mean_iou"][epoch]))
-                    if ms["better"][epoch]:
-                        print("Saving best model")
-                        best_epoch = epoch
+                    25, [learning_rate / 20] * 25, prune_masks=masks,
+                    chunk_epochs=opt.chunkEpochs or None,
+                    on_chunk=on_prune_chunk)
+                best_epoch = int(np.nonzero(ms["better"])[0][-1]) \
+                    if np.any(ms["better"]) else -1
                 if best_params is not None:
                     prune_pct = round(float(ms["pruned"][best_epoch]) * 100)
                     mflops = round(sum(zoo.robo_unet_get_computations(

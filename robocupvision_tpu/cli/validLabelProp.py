@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optFlow", action="store_true", default=False)
     p.add_argument("--jaxFlow", action="store_true", default=False,
                    help="use the TPU Farneback implementation for --optFlow")
+    p.add_argument("--packed", action="store_true", default=False,
+                   help="lane-packed LP inference graph (exact rewrite; the "
+                   "8-ch full-res input is the repo's worst lane-waste case)")
     p.add_argument("--root", type=str,
                    default=os.environ.get("ROBOCUP_DATA", "./data"))
     return p
@@ -70,10 +73,21 @@ def main(argv=None) -> int:
         deploy.export_deployment("./weightsLP", model, params_np)
         params = {k: jnp.asarray(v) for k, v in params_np.items()}
 
-        @jax.jit
-        def infer(params, x):
-            logits, _ = model.apply(params, x, train=False)
-            return jnp.argmax(logits, axis=-1)
+        if opt.packed:
+            from robocupvision_tpu.models import packed as packed_mod
+
+            # f32 keeps label maps byte-identical to the plain path
+            pi = packed_mod.build_packed_label_prop(model, params_np,
+                                                    dtype=jnp.float32)
+            packed_infer = jax.jit(pi.infer)
+
+            def infer(params, x):
+                return packed_infer(x)
+        else:
+            @jax.jit
+            def infer(params, x):
+                logits, _ = model.apply(params, x, train=False)
+                return jnp.argmax(logits, axis=-1)
 
     acc = SegAccum.zero(num_classes)
     t_total = 0.0

@@ -28,12 +28,21 @@ class StreamingBatches:
 
     def __init__(self, dataset, batch_size: int,
                  rng: Optional[np.random.Generator] = None,
-                 prefetch: int = 2, sharding=None, device_transform=None):
+                 prefetch: int = 2, sharding=None, device_transform=None,
+                 process_index: int = 0, process_count: int = 1):
         """``device_transform``: optional ``(imgs, labels) -> (imgs, labels)``
         fn (jitted here) applied after the host->device transfer. Lets the
         dataset ship compact dtypes (e.g. raw uint8 frames AND uint8 labels,
         ~7x fewer bytes over PCIe/tunnel than f32+int32) and decode/normalize/
-        widen on device — transfer bandwidth is the streaming roofline."""
+        widen on device — transfer bandwidth is the streaming roofline.
+
+        ``process_index``/``process_count``: multi-host (DCN) input sharding
+        — each host loads only ``order[process_index::process_count]``, a
+        disjoint strided slice of the (identically-seeded) epoch permutation,
+        the TPU-native equivalent of the reference's per-worker DataLoader
+        sharding (SURVEY §2.8 "per-host sharded input pipelines"). All hosts
+        must construct their rng from the same seed so the permutations
+        agree; ``batch_size`` is the PER-HOST batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = rng
@@ -41,14 +50,22 @@ class StreamingBatches:
         self.sharding = sharding
         self.device_transform = \
             jax.jit(device_transform) if device_transform is not None else None
+        assert 0 <= process_index < process_count, (process_index, process_count)
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
-        return -(-len(self.dataset) // self.batch_size)
+        n_local = len(range(self.process_index, len(self.dataset),
+                            self.process_count))
+        return -(-n_local // self.batch_size)
 
     def _host_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         n = len(self.dataset)
         order = (self.rng.permutation(n) if self.rng is not None
                  else np.arange(n))
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
+        n = len(order)
         bs = self.batch_size
         for start in range(0, n, bs):
             idx = order[start:start + bs]

@@ -49,7 +49,8 @@ import jax
 import jax.numpy as jnp
 
 from robocupvision_tpu.models import layers as L
-from robocupvision_tpu.models.zoo import Model, RoboUNetCfg
+from robocupvision_tpu.models.zoo import (LabelPropCfg, Model, PBFCN2Cfg,
+                                          PBFCNCfg, RoboUNetCfg)
 from robocupvision_tpu.ops import nn
 
 Params = Dict[str, jax.Array]
@@ -78,12 +79,37 @@ def depth_to_space(x: jax.Array, f: int) -> jax.Array:
     return x.reshape(n, hp * f, wp * f, c)
 
 
+def packed_max_pool(x: jax.Array, f_in: int) -> jax.Array:
+    """2x2/s2 max pool on a packed tensor (vanilla-UNet mode): each packed
+    cell holds f_in x f_in original pixels, so the pooled cell's
+    (f_in/2)^2 outputs are each the max of a 2x2 block INSIDE the same cell
+    — a pure lane op, no spatial communication. Output packing f_in/2."""
+    assert f_in in (2, 4), f_in
+    n, hp, wp, cp = x.shape
+    fo = f_in // 2
+    c = cp // (f_in * f_in)
+    x = x.reshape(n, hp, wp, fo, 2, fo, 2, c)
+    x = jnp.max(jnp.max(x, axis=6), axis=4)
+    return x.reshape(n, hp, wp, fo * fo * c)
+
+
+# NOTE on concat skips (v2) and the LabelProp channel-slice skip: a packed
+# concat would need a phase-major (..., f^2, C) reshape pair that XLA:TPU
+# materializes as padded relayout copies (measured: the v2 VGA graph dropped
+# to 40 fps). The packed graphs therefore never materialize a concat —
+# conv(concat(a, b), W) == conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:]),
+# so the CONSUMING conv's packed weight is split instead (``split2`` blocks,
+# _conv_packed), and the slice-add folds into a split classifier head.
+
+
 def pack_conv_weight(w: np.ndarray, f_in: int, f_out: int, stride: int = 1,
-                     transpose: bool = False) -> np.ndarray:
+                     transpose: bool = False, dilation: int = 1) -> np.ndarray:
     """Scatter an HWIO kernel into its packed-grid equivalent.
 
-    Plain conv: k in {1, 3}, torch padding k//2, requires
-    f_in == stride * f_out (the packed spatial resolution is preserved).
+    Plain conv: k in {1, 3}, torch padding dilation*(k//2), requires
+    f_in == stride * f_out (the packed spatial resolution is preserved) and
+    dilation <= f_in (so every dilated tap stays within one packed-cell
+    neighborhood).
     Transpose conv: the zoo's only config (k3, s2, p1, op1, pre-flipped
     kernel as used by nn.conv_transpose2d), requires f_out == 2 * f_in.
     Returns a (K, K, f_in^2*cin, f_out^2*cout) kernel for a packed conv with
@@ -95,6 +121,7 @@ def pack_conv_weight(w: np.ndarray, f_in: int, f_out: int, stride: int = 1,
         assert kh == 3 and f_out == 2 * f_in, (f_in, f_out)
     else:
         assert f_in == stride * f_out, (f_in, f_out, stride)
+        assert dilation in (1,) or dilation <= f_in, (dilation, f_in)
     K = 1 if (kh == 1 and f_in == f_out) else 3
     wp = np.zeros((K, K, f_in * f_in * cin, f_out * f_out * cout), w.dtype)
 
@@ -106,7 +133,7 @@ def pack_conv_weight(w: np.ndarray, f_in: int, f_out: int, stride: int = 1,
                 return None
             r = num // 2
         else:
-            r = stride * q + d - kh // 2
+            r = stride * q + dilation * (d - kh // 2)
         return r // f_in, r % f_in
 
     for qy in range(f_out):
@@ -168,25 +195,110 @@ def _fold_bn(params: Params, name: str):
     return scale, b - rm * scale
 
 
-@dataclasses.dataclass
-class PackedInfer:
-    """Compiled-for-inference ROBO-UNet. Call .infer(x) / .logits(x)."""
+@dataclasses.dataclass(frozen=True)
+class _Blk:
+    """One block of a packed inference plan.
 
-    cfg: RoboUNetCfg
-    packed: Params       # packed/tiled tensors for the top of the net
-    plain: Params        # original params (mid/low levels), cast to dtype
-    dtype: jnp.dtype
+    kind: "stem"  — first conv with space-to-depth folded into a grouped-
+                    input (f+2, 3) kernel over the free (N, H, W/f, f*cin)
+                    reshape (no transpose op materialized);
+          "pconv" — conv(+BN affine) on the packed grid (plain conv_block /
+                    conv_pool_simple when f_in == f_out == 1);
+          "ptconv"— k3/s2/p1/op1 transpose conv (plain up_tconv at f_out 1);
+          "pool"  — 2x2/s2 max pool (packed_max_pool when f_in > 1);
+          "head"  — bias-only classifier conv (no BN).
+    rbb: conv -> ReLU -> BN (the reference conv_block quirk, model.py:116)
+         vs conv -> BN -> ReLU (ConvPoolSimple / upSampleTransposeConv).
+    pad/dil apply to the f==1 plain fallback only (packed taps encode them).
+    """
+
+    kind: str
+    name: str = ""
+    f_in: int = 1
+    f_out: int = 1
+    stride: int = 1
+    rbb: bool = True
+    k: int = 3
+    pad: int = 1
+    dil: int = 1
+    # split2: this block consumes a 2-part concat (v2 skips) that is NEVER
+    # materialized — the packed weight is split into .w0/.w1 halves applied
+    # to the parts and summed (see the concat note above)
+    split2: bool = False
+    # param-key overrides for blocks whose conv/BN keys don't follow the
+    # name+".conv"/name+".bn" convention (e.g. ConvPool's conv1/pool/bn)
+    wkey: str = ""
+    bnkey: str = ""
+
+    @property
+    def w_prefix(self) -> str:
+        return self.wkey or self.name + ".conv"
+
+    @property
+    def bn_prefix(self) -> str:
+        return self.bnkey or self.name + ".bn"
+
+
+@dataclasses.dataclass(frozen=True)
+class _Plan:
+    downs: tuple     # per resolution level: tuple of _Blk
+    ups: tuple       # one _Blk per up stage (skip combine handled by v2)
+    head: _Blk
+    v2: bool         # concat skips (packed_concat) instead of additive
+    belly: bool      # PB.PB_1 / PB.PB_2 bottleneck between down and up
+
+
+def _robo_unet_plan(cfg: RoboUNetCfg) -> _Plan:
+    """Packed plan for the full ROBO-UNet family: flagship (strided convs,
+    additive skips), --UNet (pool=True: maxpool downs), --v2 (concat skips,
+    doubled up channels, 3x3 class head) — reference model.py:461-536."""
+    D = cfg.eff_depth
+    n0 = max(cfg.levels - 1, 1)          # conv blocks in Level0
+    nI = max(cfg.levels - 1, 1) if cfg.pool else cfg.levels  # per Level i>=1
+
+    downs = []
+    f0 = _f_at(0)
+    blks = [_Blk("stem", "downPart.Level0.layers.Conv0", f0, f0)]
+    for i in range(1, n0):
+        blks.append(_Blk("pconv", f"downPart.Level0.layers.Conv{i}", f0, f0))
+    downs.append(tuple(blks))
+    for lvl in range(1, D):
+        f_in, f = _f_at(lvl - 1), _f_at(lvl)
+        name = f"downPart.Level{lvl}"
+        blks = []
+        if cfg.pool:
+            blks.append(_Blk("pool", f_in=f_in, f_out=f))
+            blks.append(_Blk("pconv", f"{name}.layers.Conv0", f, f))
+        else:
+            blks.append(_Blk("pconv", f"{name}.layers.Conv0", f_in, f,
+                             stride=2))
+        for i in range(1, nI):
+            blks.append(_Blk("pconv", f"{name}.layers.Conv{i}", f, f))
+        downs.append(tuple(blks))
+
+    ups = tuple(
+        _Blk("ptconv", f"upPart.Up{j}", _f_at(D - 1 - j), _f_at(D - 2 - j),
+             rbb=False, split2=cfg.v2 and j > 0 and _f_at(D - 1 - j) > 1)
+        for j in range(D - 1))
+    head = _Blk("head", "segmenter.layers.Class", 4, 4, k=cfg.class_size,
+                pad=cfg.class_size // 2, split2=cfg.v2)
+    return _Plan(tuple(downs), ups, head, cfg.v2, cfg.belly_size > 0)
+
+
+class _PackedBase:
+    """Shared interpreter for packed inference graphs."""
+
+    # -- public api ---------------------------------------------------------
 
     def logits(self, x: jax.Array) -> jax.Array:
-        """(N, H, W, 3) image -> (N, H, W, num_classes) logits; exact
-        (up to float reassociation) match of zoo.robo_unet_apply."""
-        lp = self._logits_packed(x)
-        return depth_to_space(lp, 4)
+        """(N, H, W, Cin) input -> (N, H, W, num_classes) logits; exact
+        (up to float reassociation) match of the zoo apply."""
+        return depth_to_space(self._logits_packed(x), 4)
 
     def infer(self, x: jax.Array) -> jax.Array:
-        """(N, H, W, 3) image -> (N, H, W) int32 label map. The argmax runs
-        in the packed domain (per-phase over num_classes) so no wide-lane
-        480-res buffer is ever materialized."""
+        """(N, H, W, Cin) input -> (N, H, W) int32 label map. The argmax
+        runs in the packed domain (per-phase over num_classes) so no
+        wide-lane full-res buffer is ever materialized."""
         lp = self._logits_packed(x)
         n, hp, wp, _ = lp.shape
         lab = jnp.argmax(lp.reshape(n, hp, wp, 16, self.cfg.num_classes),
@@ -200,60 +312,211 @@ class PackedInfer:
         cf. the engine's uint8 label maps)."""
         return self.infer(x).astype(jnp.uint8)
 
-    # -- internals ----------------------------------------------------------
+    # -- block interpreter --------------------------------------------------
 
-    def _pblock(self, name: str, x: jax.Array, relu_before_bn: bool) -> jax.Array:
-        """Packed conv + bias + (ReLU/BN in reference order)."""
-        pp = self.packed
-        w = pp[name + ".w"]
-        y = nn.conv2d(x, w, pp[name + ".b"], padding=int(w.shape[0]) // 2)
-        scale, shift = pp[name + ".scale"], pp[name + ".shift"]
-        if relu_before_bn:  # conv_block: conv -> ReLU -> BN (model.py:116)
+    def _affine(self, key: str, y: jax.Array, rbb: bool) -> jax.Array:
+        scale, shift = self.packed[key + ".scale"], self.packed[key + ".shift"]
+        if rbb:  # conv_block: conv -> ReLU -> BN (model.py:116)
             return nn.relu(y) * scale + shift
-        return nn.relu(y * scale + shift)  # up_tconv: tconv -> BN -> ReLU
+        return nn.relu(y * scale + shift)  # ConvPoolSimple/up_tconv order
+
+    def _conv_packed(self, key: str, x) -> jax.Array:
+        """Packed conv; ``x`` may be a 2-tuple (an unmaterialized concat) —
+        then the split .w0/.w1 halves are applied and summed."""
+        pp = self.packed
+        if isinstance(x, tuple):
+            w0 = pp[key + ".w0"]
+            pad = int(w0.shape[0]) // 2
+            return nn.conv2d(x[0], w0, pp[key + ".b"], padding=pad) \
+                + nn.conv2d(x[1], pp[key + ".w1"], padding=pad)
+        w = pp[key + ".w"]
+        return nn.conv2d(x, w, pp[key + ".b"], padding=int(w.shape[0]) // 2)
+
+    def _blk(self, blk: _Blk, x, mut: Params) -> jax.Array:
+        p = self.plain
+        pp = self.packed
+        if blk.kind == "pool":
+            return packed_max_pool(x, blk.f_in) if blk.f_in > 1 \
+                else nn.max_pool(x, 2, 2)
+        if blk.kind == "stem":
+            # s2d(f) folded into a (f+2, 3)/stride-(f, 1) conv on the grouped
+            # input view (N, H, W/f, f*cin) — a free dense reshape; reads
+            # f*cin lanes instead of cin (measured: 0.71 -> 0.56 ms
+            # full-graph vs the stride-4 6x6 form)
+            f = blk.f_out
+            n, H, W, c = x.shape
+            xg = x.reshape(n, H, W // f, f * c)
+            y = nn.conv2d(xg, pp[blk.w_prefix + ".w"], pp[blk.w_prefix + ".b"],
+                          stride=(f, 1), padding=1)
+            return self._affine(blk.w_prefix, y, blk.rbb)
+        if blk.kind == "head":
+            return self._conv_packed(blk.name, x)
+        if blk.kind == "ptconv":
+            if blk.f_out == 1:
+                return L.up_tconv(p, mut, blk.name, x, False)
+            y = self._conv_packed(blk.w_prefix, x)
+            return self._affine(blk.w_prefix, y, False)
+        if blk.kind == "pconv_nr":  # conv + ReLU, no BN (ConvPool.conv1)
+            return nn.relu(self._conv_packed(blk.w_prefix, x))
+        assert blk.kind == "pconv", blk.kind
+        if blk.f_in == 1 and blk.f_out == 1:
+            if blk.rbb:
+                return L.conv_block(p, mut, blk.name, x, blk.stride, blk.k,
+                                    False)
+            return L.conv_pool_simple(p, mut, blk.name, x, blk.stride,
+                                      blk.pad, blk.dil, False)
+        y = self._conv_packed(blk.w_prefix, x)
+        return self._affine(blk.w_prefix, y, blk.rbb)
+
+
+@dataclasses.dataclass
+class PackedInfer(_PackedBase):
+    """Compiled-for-inference ROBO-UNet. Call .infer(x) / .logits(x)."""
+
+    cfg: RoboUNetCfg
+    plan: _Plan
+    packed: Params       # packed/tiled tensors for the top of the net
+    plain: Params        # original params (mid/low levels), cast to dtype
+    dtype: jnp.dtype
+
+    def _logits_packed(self, x: jax.Array) -> jax.Array:
+        cfg, p, plan = self.cfg, self.plain, self.plan
+        mut: Params = {}
+        h = x.astype(self.dtype)
+
+        feats = {}
+        for lvl, blks in enumerate(plan.downs):
+            for blk in blks:
+                h = self._blk(blk, h, mut)
+            feats[lvl] = h
+        if plan.belly:
+            h = L.level_down(p, mut, "PB.PB_1", h, cfg.belly_size - 1, False,
+                             False, False)
+            h = L.level_down(p, mut, "PB.PB_2", h, 1, False, False, False)
+
+        D = len(plan.downs)
+        up = h
+        for j, blk in enumerate(plan.ups):
+            y = self._blk(blk, up, mut)
+            skip = feats[D - 2 - j]
+            if plan.v2:
+                # concat skip — never materialized at f > 1: the consuming
+                # split2 block applies .w0/.w1 to the parts (concat note)
+                up = (y, skip) if blk.f_out > 1 else \
+                    jnp.concatenate([y, skip], axis=-1)
+            else:
+                up = y + skip
+        return self._blk(plan.head, up, mut)
+
+
+@dataclasses.dataclass
+class PackedLabelPropInfer(_PackedBase):
+    """Compiled-for-inference LabelProp net (reference model.py:538-567) —
+    the worst lane-waste case in the repo (8/128 lanes at full resolution on
+    the standard graph). Input: (N, H, W, 8) = [Y_t, Y_other, Y_t - Y_other,
+    one-hot prev label]; exact rewrite of zoo.label_prop_apply."""
+
+    cfg: LabelPropCfg
+    packed: Params
+    plain: Params
+    dtype: jnp.dtype
+
+    def _logits_packed(self, x: jax.Array) -> jax.Array:
+        p = self.plain
+        mut: Params = {}
+        h = x.astype(self.dtype)
+
+        def cps(name, x, stride, padding, dilation):
+            return L.conv_pool_simple(p, mut, name, x, stride, padding,
+                                      dilation, False)
+
+        top = self._blk(_Blk("stem", "pre", 4, 4, rbb=False), h, mut)
+        middle = self._blk(_Blk("pconv", "down1", 4, 2, stride=2, rbb=False),
+                           top, mut)
+        bottom = self._blk(_Blk("pconv", "down2", 2, 1, stride=2, rbb=False),
+                           middle, mut)
+        h = cps("down3", bottom, 2, 1, 1)
+        h = cps("conv3", cps("conv2", cps("conv1", h, 1, 2, 2), 1, 2, 2),
+                1, 2, 2)
+        h = bottom + L.up_tconv(p, mut, "upConv1", h, False)
+        h = middle + self._blk(_Blk("ptconv", "upConv2", 1, 2, rbb=False),
+                               h, mut)
+        h = self._blk(_Blk("ptconv", "upConv3", 2, 4, rbb=False), h, mut)
+        # channel-slice skip x[:, :C_pre] += top (reference model.py:565),
+        # folded into the 1x1 classifier instead of materialized:
+        # conv(h + embed(top), W) == conv(h, W) + conv(top, W[:, :, :C_pre])
+        return self._conv_packed("classifier", h) \
+            + nn.conv2d(top, self.packed["classifier.wtop"], padding=0)
+
+
+def _pb_fcn_blks(cfg: PBFCNCfg):
+    """Packed blocks for the PB_FCN top (reference model.py:201-232,
+    269-309). The stem is a dilated (d=2) ConvPoolSimple — handled as
+    space-to-depth + a dilation-aware packed conv (pack_conv_weight taps
+    r = q + dil*(d-1), valid for dil <= f). Deep levels (f=1) stay plain."""
+    ups = []
+    n_up = 4 if cfg.no_scale else 3
+    for j in range(n_up):
+        r = n_up - 1 - j  # output resolution level
+        f_o = _f_at(r)
+        ups.append(_Blk("ptconv", f"up{j + 1}", _f_at(r + 1), f_o, rbb=False))
+    return [
+        _Blk("pconv", "FCN.conv0", 4, 4, rbb=False, dil=2, pad=2),
+        _Blk("pconv", "FCN.conv1", 4, 2, stride=2, rbb=False),
+        _Blk("pconv_nr", "FCN.conv2", 2, 2, dil=2, wkey="FCN.conv2.conv1"),
+        _Blk("pconv", "FCN.conv2", 2, 1, stride=2, rbb=False,
+             wkey="FCN.conv2.pool", bnkey="FCN.conv2.bn"),
+    ] + ups + [
+        _Blk("head", "segmenter.classifier", 4, 4, k=cfg.kernel_size,
+             pad=cfg.kernel_size // 2),
+    ]
+
+
+@dataclasses.dataclass
+class PackedPBFCNInfer(_PackedBase):
+    """Compiled-for-inference PB_FCN segmentation net (reference
+    model.py:269-309 over the DownSampler encoder model.py:201-232) — the
+    net tester.py latency-measures and exports. Exact rewrite of
+    zoo.pb_fcn_apply (segment mode)."""
+
+    cfg: PBFCNCfg
+    packed: Params
+    plain: Params
+    dtype: jnp.dtype
 
     def _logits_packed(self, x: jax.Array) -> jax.Array:
         cfg, p = self.cfg, self.plain
-        D = cfg.eff_depth
         mut: Params = {}
-        x = x.astype(self.dtype)
+        blks = {b.kind + ":" + b.name: b for b in _pb_fcn_blks(cfg)}
+        h = space_to_depth(x.astype(self.dtype), 4)
 
-        feats = {}
-        # stem: s2d(4) folded into a (6,3)/stride-(4,1) conv on the grouped
-        # input view (N, H, W/4, 12) — a free dense reshape; reads 12 lanes
-        # instead of 3 (measured: 0.71 -> 0.56 ms full-graph vs the
-        # stride-4 6x6 form)
-        pp = self.packed
-        name = "downPart.Level0.layers.Conv0"
-        n, H, W, c = x.shape
-        xg = x.reshape(n, H, W // 4, 4 * c)
-        y = nn.conv2d(xg, pp[name + ".w"], pp[name + ".b"],
-                      stride=(4, 1), padding=1)
-        h = nn.relu(y) * pp[name + ".scale"] + pp[name + ".shift"]
-        feats[0] = h
-        h = self._pblock("downPart.Level1.layers.Conv0", h, True)
-        h = self._pblock("downPart.Level1.layers.Conv1", h, True)
-        feats[1] = h
-        h = self._pblock("downPart.Level2.layers.Conv0", h, True)
-        h = L.conv_block(p, mut, "downPart.Level2.layers.Conv1", h, 1, 3, False)
-        feats[2] = h
-        for i in range(3, D):
-            h = L.level_down(p, mut, f"downPart.Level{i}", h, cfg.levels,
-                             True, False, False)
-            feats[i] = h
-        h2 = L.level_down(p, mut, "PB.PB_1", h, cfg.belly_size - 1, False,
-                          False, False)
-        up = L.level_down(p, mut, "PB.PB_2", h2, 1, False, False, False)
+        x0 = self._blk(blks["pconv:FCN.conv0"], h, mut)
+        x1 = self._blk(blks["pconv:FCN.conv1"], x0, mut)
+        hh = self._blk(blks["pconv_nr:FCN.conv2"], x1, mut)
+        x2 = self._blk(blks["pconv:FCN.conv2"], hh, mut)
 
-        for j in range(D - 1):
-            r = D - 2 - j  # output resolution level of this up stage
-            if _f_at(r) == 1:
-                up = L.up_tconv(p, mut, f"upPart.Up{j}", up, False) + feats[r]
-            else:
-                up = self._pblock(f"upPart.Up{j}", up, False) + feats[r]
+        def cps(name, x, stride, padding, dilation):
+            return L.conv_pool_simple(p, mut, name, x, stride, padding,
+                                      dilation, False)
 
-        w = self.packed["segmenter.w"]
-        return nn.conv2d(up, w, self.packed["segmenter.b"], padding=0)
+        def deep(h):
+            h = L.conv_pool(p, mut, "FCN.conv3", h, False)
+            for i in range(4, 9):
+                h = cps(f"FCN.conv{i}", h, 1, 2, 2)
+            return h
+
+        if cfg.no_scale:
+            x3 = L.conv_pool(p, mut, "FCN.conv_ext", x2, False)
+            feats = [x0, x1, x2, x3, deep(x3)]
+        else:
+            feats = [x0, x1, x2, deep(x2)]
+
+        up = feats[-1]
+        n_up = len(feats) - 1
+        for j in range(n_up):
+            blk = blks[f"ptconv:up{j + 1}"]
+            up = self._blk(blk, up, mut) + feats[n_up - 1 - j]
+        return self._blk(blks["head:segmenter.classifier"], up, mut)
 
 
 # ---- packed TRAINING graph --------------------------------------------------
@@ -423,61 +686,146 @@ def packed_train_apply(maps: PackMaps, p: Params, x: jax.Array, *,
     return logits.reshape(nl, hp, wp, 16, cfg.num_classes), mut
 
 
-def build_packed_infer(model: Model, params: Params,
-                       dtype: jnp.dtype = jnp.bfloat16) -> PackedInfer:
-    """Compile a trained ROBO-UNet for TPU inference (exact rewrite).
-
-    Supports the train.py/tester.py flagship family: pool=False (strided
-    convs), additive skips (v2=False), levels=2, belly_size>0, class_size=1.
-    """
-    cfg = model.cfg
-    assert isinstance(cfg, RoboUNetCfg), "packed inference is ROBO-UNet only"
-    assert not cfg.pool and not cfg.v2, "pool/v2 variants not packed (yet)"
-    assert cfg.levels == 2 and cfg.belly_size > 0 and cfg.class_size == 1
-    assert cfg.eff_depth >= 4
-
-    np_params = {k: np.asarray(v) for k, v in params.items()}
+def _pack_blocks(np_params: Params, blks, dtype) -> Params:
+    """Pack + BN-fold the weights for every packed block of a plan."""
     packed: Dict[str, jax.Array] = {}
 
     def put(key, arr):
         packed[key] = jnp.asarray(arr, dtype)
 
-    def conv_block(name, f_in, f_out, stride):
-        put(name + ".w", pack_conv_weight(np_params[name + ".conv.weight"],
-                                          f_in, f_out, stride))
-        t = f_out * f_out
-        put(name + ".b", np.tile(np_params[name + ".conv.bias"], t))
-        scale, shift = _fold_bn(np_params, name + ".bn")
-        put(name + ".scale", np.tile(scale, t))
-        put(name + ".shift", np.tile(shift, t))
+    def put_w(blk, key, w, pack):
+        """Store the packed kernel — split in half along ORIGINAL cin for
+        split2 blocks (the unmaterialized-concat trick; a cin-slice of the
+        original kernel packs to exactly the phase-major slice)."""
+        if blk.split2:
+            cin = w.shape[2]
+            put(key + ".w0", pack(w[:, :, : cin // 2]))
+            put(key + ".w1", pack(w[:, :, cin // 2:]))
+        else:
+            put(key + ".w", pack(w))
 
-    def tconv_block(name, f_in, f_out):
-        put(name + ".w", pack_conv_weight(np_params[name + ".conv.weight"],
-                                          f_in, f_out, transpose=True))
-        t = f_out * f_out
-        put(name + ".b", np.tile(np_params[name + ".conv.bias"], t))
-        scale, shift = _fold_bn(np_params, name + ".bn")
-        put(name + ".scale", np.tile(scale, t))
-        put(name + ".shift", np.tile(shift, t))
+    def put_bias(blk, key, wname_prefix):
+        t = blk.f_out * blk.f_out
+        bias = np_params.get(wname_prefix + ".bias")
+        if bias is None:  # bias=False conv (BN shift absorbs it)
+            bias = np.zeros(np_params[wname_prefix + ".weight"].shape[-1],
+                            np.float32)
+        put(key + ".b", np.tile(bias, t))
 
-    D = cfg.eff_depth
-    name = "downPart.Level0.layers.Conv0"
-    put(name + ".w",
-        pack_stem_weight_grouped(np_params[name + ".conv.weight"], 4))
-    put(name + ".b", np.tile(np_params[name + ".conv.bias"], 16))
-    scale, shift = _fold_bn(np_params, name + ".bn")
-    put(name + ".scale", np.tile(scale, 16))
-    put(name + ".shift", np.tile(shift, 16))
-    conv_block("downPart.Level1.layers.Conv0", 4, 2, 2)
-    conv_block("downPart.Level1.layers.Conv1", 2, 2, 1)
-    conv_block("downPart.Level2.layers.Conv0", 2, 1, 2)
-    for j in range(D - 1):
-        r = D - 2 - j
-        if _f_at(r) > 1:
-            tconv_block(f"upPart.Up{j}", _f_at(r + 1), _f_at(r))
-    name = "segmenter.layers.Class"
-    put("segmenter.w", pack_conv_weight(np_params[name + ".weight"], 4, 4, 1))
-    put("segmenter.b", np.tile(np_params[name + ".bias"], 16))
+    def put_affine(blk, key):
+        t = blk.f_out * blk.f_out
+        scale, shift = _fold_bn(np_params, blk.bn_prefix)
+        put(key + ".scale", np.tile(scale, t))
+        put(key + ".shift", np.tile(shift, t))
 
+    for blk in blks:
+        if blk.kind == "pool":
+            continue
+        if blk.kind == "head":
+            w = np_params[blk.name + ".weight"]
+            put_w(blk, blk.name, w,
+                  lambda w: pack_conv_weight(w, blk.f_in, blk.f_out, 1))
+            put(blk.name + ".b",
+                np.tile(np_params[blk.name + ".bias"], blk.f_out * blk.f_out))
+            continue
+        if blk.kind == "stem":
+            w = np_params[blk.w_prefix + ".weight"]
+            put(blk.w_prefix + ".w", pack_stem_weight_grouped(w, blk.f_out))
+            put_bias(blk, blk.w_prefix, blk.w_prefix)
+            put_affine(blk, blk.w_prefix)
+            continue
+        if blk.kind == "ptconv":
+            if blk.f_out == 1:
+                continue  # plain up_tconv path
+            w = np_params[blk.w_prefix + ".weight"]
+            put_w(blk, blk.w_prefix, w,
+                  lambda w: pack_conv_weight(w, blk.f_in, blk.f_out,
+                                             transpose=True))
+            put_bias(blk, blk.w_prefix, blk.w_prefix)
+            put_affine(blk, blk.w_prefix)
+            continue
+        assert blk.kind in ("pconv", "pconv_nr"), blk.kind
+        if blk.f_in == 1 and blk.f_out == 1:
+            continue  # plain conv_block / conv_pool_simple path
+        w = np_params[blk.w_prefix + ".weight"]
+        put_w(blk, blk.w_prefix, w,
+              lambda w: pack_conv_weight(w, blk.f_in, blk.f_out, blk.stride,
+                                         dilation=blk.dil))
+        put_bias(blk, blk.w_prefix, blk.w_prefix)
+        if blk.kind == "pconv":
+            put_affine(blk, blk.w_prefix)
+    return packed
+
+
+def build_packed_infer(model: Model, params: Params,
+                       dtype: jnp.dtype = jnp.bfloat16) -> PackedInfer:
+    """Compile a trained ROBO-UNet for TPU inference (exact rewrite).
+
+    Supports the whole deployed ROBO-UNet family (reference model.py:461-536,
+    train.py:302-307 hyper table): the flagship (strided convs, additive
+    skips), --UNet (pool=True maxpool mode, belly_size 0), --v2 (concat
+    skips, doubled up channels, 3x3 class head), any levels >= 1, QVGA and
+    VGA (--noScale). Per-pixel equivalence pinned by tests/test_packed_infer.
+    """
+    cfg = model.cfg
+    if isinstance(cfg, PBFCN2Cfg):
+        # PB_FCN_2's segmentation graph (reference model.py:416-459) is
+        # structurally the flagship plan: same block names, levels=2 Level0
+        # with one conv, PB belly, additive-skip tconv ups, 1x1 segmenter —
+        # only the unused classification head differs (stays in `plain`).
+        assert not cfg.classify and cfg.levels == 2, cfg
+        cfg = RoboUNetCfg(planes=cfg.planes, num_classes=cfg.num_classes,
+                          depth=cfg.depth, levels=cfg.levels,
+                          belly_size=cfg.belly_size,
+                          belly_planes=cfg.belly_planes)
+    assert isinstance(cfg, RoboUNetCfg), "use build_packed_label_prop etc."
+    assert cfg.eff_depth >= 4
+    plan = _robo_unet_plan(cfg)
+
+    np_params = {k: np.asarray(v) for k, v in params.items()}
+    all_blks = [b for lvl in plan.downs for b in lvl] + list(plan.ups) \
+        + [plan.head]
+    packed = _pack_blocks(np_params, all_blks, dtype)
     plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
-    return PackedInfer(cfg, packed, plain, dtype)
+    return PackedInfer(cfg, plan, packed, plain, dtype)
+
+
+def build_packed_label_prop(model: Model, params: Params,
+                            dtype: jnp.dtype = jnp.bfloat16
+                            ) -> PackedLabelPropInfer:
+    """Compile a trained LabelProp net for TPU inference (exact rewrite of
+    zoo.label_prop_apply / reference model.py:538-567). The 8-channel
+    full-resolution input is the repo's worst lane-waste case: the packed
+    graph runs at 1/4 resolution with 128 input lanes."""
+    cfg = model.cfg
+    assert isinstance(cfg, LabelPropCfg), "packed LP is the LabelProp family"
+    np_params = {k: np.asarray(v) for k, v in params.items()}
+    blks = [
+        _Blk("stem", "pre", 4, 4, rbb=False),
+        _Blk("pconv", "down1", 4, 2, stride=2, rbb=False),
+        _Blk("pconv", "down2", 2, 1, stride=2, rbb=False),
+        _Blk("ptconv", "upConv2", 1, 2, rbb=False),
+        _Blk("ptconv", "upConv3", 2, 4, rbb=False),
+        _Blk("head", "classifier", 4, 4, k=1, pad=0),
+    ]
+    packed = _pack_blocks(np_params, blks, dtype)
+    # the channel-slice skip's classifier half (see _logits_packed)
+    c_pre = np_params["pre.conv.weight"].shape[-1]
+    packed["classifier.wtop"] = jnp.asarray(
+        pack_conv_weight(np_params["classifier.weight"][:, :, :c_pre], 4, 4, 1),
+        dtype)
+    plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
+    return PackedLabelPropInfer(cfg, packed, plain, dtype)
+
+
+def build_packed_pb_fcn(model: Model, params: Params,
+                        dtype: jnp.dtype = jnp.bfloat16) -> PackedPBFCNInfer:
+    """Compile a trained PB_FCN (segment mode) for TPU inference — the
+    tester.py deployment/latency net (reference tester.py:142-144)."""
+    cfg = model.cfg
+    assert isinstance(cfg, PBFCNCfg) and not cfg.classify, \
+        "packed PB_FCN is the segmentation PB_FCN family"
+    np_params = {k: np.asarray(v) for k, v in params.items()}
+    packed = _pack_blocks(np_params, _pb_fcn_blks(cfg), dtype)
+    plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
+    return PackedPBFCNInfer(cfg, packed, plain, dtype)

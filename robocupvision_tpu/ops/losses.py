@@ -19,6 +19,11 @@ def cross_entropy_2d(logits: jax.Array, targets: jax.Array,
 
     Matches torch NLLLoss(weight, reduction='mean'): the mean is weighted —
     sum(w[t] * nll) / sum(w[t]).
+
+    Precondition: targets in [0, num_classes). The one-hot formulation drops
+    out-of-range labels from numerator AND denominator (torch's
+    take_along_axis semantics would clamp them instead) — all in-repo label
+    paths (mask_label, dataset loaders) guarantee in-range targets.
     """
     num_classes = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

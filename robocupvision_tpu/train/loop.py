@@ -206,7 +206,9 @@ class Trainer:
             sharding = NamedSharding(self.mesh, P("data"))
         stream = StreamingBatches(dataset, self.batch_size, host_rng,
                                   sharding=sharding,
-                                  device_transform=device_transform)
+                                  device_transform=device_transform,
+                                  process_index=jax.process_index(),
+                                  process_count=jax.process_count())
         pending = []
         for bimgs, btgt, bmask in stream:
             self.state, out = self.train_step(self.state, bimgs, btgt, bmask,
@@ -232,11 +234,24 @@ class Trainer:
             extra={})
 
     def train_run(self, epochs: int, lrs,
-                  prune_masks: Optional[Dict[str, np.ndarray]] = None):
+                  prune_masks: Optional[Dict[str, np.ndarray]] = None,
+                  chunk_epochs: Optional[int] = None,
+                  on_chunk: Optional[Callable] = None):
         """The whole train.py epoch loop (train epochs + per-epoch validation
-        + best-model selection) as ONE device dispatch and ONE final fetch
+        + best-model selection) as scanned device dispatches
         (train/step.py make_train_run_fn). ``lrs``: per-epoch LR list
         (precomputed schedule).
+
+        ``chunk_epochs``: dispatch the run in chunks of K epochs, carrying
+        best_score/best_params ON DEVICE between chunks. After each chunk,
+        that chunk's metrics are fetched and ``on_chunk(epoch_offset,
+        chunk_metrics, best_params_or_None)`` fires — best_params (host
+        arrays) is non-None iff the chunk improved the best score, so the
+        caller can stream per-epoch prints and write a durable checkpoint
+        mid-run (reference train.py:197-201 saves on every improvement; a
+        single multi-hundred-epoch dispatch killed midway would save
+        nothing). None = single dispatch, one fetch (the tunnel-optimal
+        mode bench.py measures).
 
         Returns (best_score, best_params | None, metrics) where metrics is a
         dict of (epochs,)-stacked arrays: train_loss/train_reg/
@@ -245,26 +260,53 @@ class Trainer:
         improved on score 0 (the reference saves nothing then)."""
         assert self.state is not None and self.train_cache is not None \
             and self.val_cache is not None
+        assert len(lrs) == epochs, (len(lrs), epochs)  # lrs[ei] is clamped
+        # inside the scan — a short list would silently reuse the last LR
         masks_dev = None
         if prune_masks is not None:
             masks_dev = {k: jnp.asarray(v, jnp.float32)
                          for k, v in prune_masks.items()}
-        # the compiled run bakes dataset sizes and batch size in as static
-        # constants — key on all of them (callers may swap caches)
-        key = (epochs, prune_masks is not None, self.train_cache.n,
-               self.val_cache.n, self.batch_size)
-        fn = self._run_fns.get(key)
-        if fn is None:
-            fn = tstep.make_train_run_fn(
-                self.model, self.tx, self.cfg, self.batch_size,
-                self.train_cache.n, self.batch_size, self.val_cache.n,
-                epochs, self.multipliers)
-            self._run_fns[key] = fn
-        self.state, best_score, best_params, ms = fn(
-            self.state, self.train_cache.images, self.train_cache.labels,
-            self.val_cache.images, self.val_cache.labels, self._next_rng(),
-            jnp.asarray(lrs, jnp.float32), masks_dev)
-        ms = jax.device_get(ms)
+        if chunk_epochs is None or chunk_epochs >= epochs:
+            chunks = [epochs]
+        else:
+            chunks = [chunk_epochs] * (epochs // chunk_epochs)
+            if epochs % chunk_epochs:
+                chunks.append(epochs % chunk_epochs)
+
+        def run_fn(n_epochs: int):
+            # the compiled run bakes dataset sizes, batch size and epoch
+            # count in as static constants — key on all of them (callers may
+            # swap caches; chunking reuses one executable for equal chunks)
+            key = (n_epochs, prune_masks is not None, self.train_cache.n,
+                   self.val_cache.n, self.batch_size)
+            fn = self._run_fns.get(key)
+            if fn is None:
+                fn = tstep.make_train_run_fn(
+                    self.model, self.tx, self.cfg, self.batch_size,
+                    self.train_cache.n, self.batch_size, self.val_cache.n,
+                    n_epochs, self.multipliers)
+                self._run_fns[key] = fn
+            return fn
+
+        carry = None
+        ms_parts = []
+        off = 0
+        for ce in chunks:
+            self.state, best_score, best_params, ms = run_fn(ce)(
+                self.state, self.train_cache.images, self.train_cache.labels,
+                self.val_cache.images, self.val_cache.labels, self._next_rng(),
+                jnp.asarray(lrs[off:off + ce], jnp.float32), masks_dev, carry)
+            carry = (best_score, best_params)
+            ms = jax.device_get(ms)
+            ms_parts.append(ms)
+            if on_chunk is not None:
+                improved = bool(np.any(ms["better"]))
+                on_chunk(off, ms,
+                         {k: np.asarray(v) for k, v in best_params.items()}
+                         if improved else None)
+            off += ce
+        ms = {k: np.concatenate([m[k] for m in ms_parts])
+              for k in ms_parts[0]} if len(ms_parts) > 1 else ms_parts[0]
         score = float(best_score)
         if not bool(np.any(ms["better"])):
             return score, None, ms

@@ -274,9 +274,15 @@ def make_train_run_fn(model: Model, tx: optax.GradientTransformation,
     chip; locally it is still strictly fewer round-trips.)
 
     Returns run(state, images, labels, val_images, val_labels, rng, lrs,
-    prune_masks) -> (state, best_score, best_params, per_epoch_metrics) with
-    lrs a (epochs,) f32 vector (precompute the cosine schedule host-side).
-    Seg losses only (ce2d | dice) — matches reference train.py.
+    prune_masks, carry_in) -> (state, best_score, best_params,
+    per_epoch_metrics) with lrs a (epochs,) f32 vector (precompute the
+    cosine schedule host-side). ``carry_in`` is None to start fresh
+    (best_score 0, best_params = current params) or a (best_score,
+    best_params) pair from a previous call — this is what lets
+    Trainer.train_run split a long run into K-epoch chunks (durable
+    checkpoints + live prints between dispatches) without giving up the
+    scanned-epochs design. Seg losses only (ce2d | dice) — matches
+    reference train.py.
     """
     assert cfg.loss in ("ce2d", "dice"), "train_run is the seg train loop"
     from robocupvision_tpu.data.device_cache import num_batches
@@ -291,7 +297,7 @@ def make_train_run_fn(model: Model, tx: optax.GradientTransformation,
     param_order = model.param_order
 
     def run(state: TrainState, images, labels, val_images, val_labels, rng,
-            lrs, prune_masks: Optional[Params]):
+            lrs, prune_masks: Optional[Params], carry_in=None):
         def val_one_epoch(params):
             def body(carry, bi):
                 pos = bi * val_batch_size + jnp.arange(val_batch_size)
@@ -333,9 +339,12 @@ def make_train_run_fn(model: Model, tx: optax.GradientTransformation,
             }
             return (st, best_score, best_params), em
 
+        if carry_in is None:
+            best0, bparams0 = jnp.float32(0.0), state.params
+        else:
+            best0, bparams0 = carry_in
         (state, best_score, best_params), ms = jax.lax.scan(
-            epoch_body, (state, jnp.float32(0.0), state.params),
-            jnp.arange(epochs))
+            epoch_body, (state, best0, bparams0), jnp.arange(epochs))
         return state, best_score, best_params, ms
 
     return jax.jit(run, donate_argnums=(0,))

@@ -15,19 +15,21 @@ from robocupvision_tpu.models import packed, zoo
 from robocupvision_tpu.ops import nn
 
 
-@pytest.mark.parametrize("f_in,f_out,stride,k", [
-    (4, 4, 1, 3), (4, 2, 2, 3), (2, 2, 1, 3), (2, 1, 2, 3),
-    (1, 1, 1, 3), (4, 4, 1, 1), (2, 2, 1, 1),
+@pytest.mark.parametrize("f_in,f_out,stride,k,dil", [
+    (4, 4, 1, 3, 1), (4, 2, 2, 3, 1), (2, 2, 1, 3, 1), (2, 1, 2, 3, 1),
+    (1, 1, 1, 3, 1), (4, 4, 1, 1, 1), (2, 2, 1, 1, 1),
+    (4, 4, 1, 3, 2), (2, 2, 1, 3, 2), (2, 1, 2, 3, 2),  # dilated (PB_FCN)
 ])
-def test_pack_conv_weight_identity(f_in, f_out, stride, k):
-    rng = np.random.default_rng(f_in * 100 + f_out * 10 + stride)
+def test_pack_conv_weight_identity(f_in, f_out, stride, k, dil):
+    rng = np.random.default_rng(f_in * 100 + f_out * 10 + stride + dil)
     cin, cout = 3, 5
     H = W = 8 * f_in
     x = jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((k, k, cin, cout)), jnp.float32)
 
-    ref = nn.conv2d(x, w, stride=stride, padding=k // 2)
-    wp = packed.pack_conv_weight(np.asarray(w), f_in, f_out, stride)
+    ref = nn.conv2d(x, w, stride=stride, padding=dil * (k // 2), dilation=dil)
+    wp = packed.pack_conv_weight(np.asarray(w), f_in, f_out, stride,
+                                 dilation=dil)
     got = nn.conv2d(packed.space_to_depth(x, f_in), jnp.asarray(wp),
                     padding=int(wp.shape[0]) // 2)
     want = packed.space_to_depth(ref, f_out)
@@ -72,9 +74,21 @@ def _randomized_params(model, seed):
     return {k: jnp.asarray(v) for k, v in params.items()}
 
 
-@pytest.mark.parametrize("no_scale,hw", [(True, (64, 64)), (False, (32, 64))])
-def test_packed_logits_match_reference_apply(no_scale, hw):
-    model = zoo.make("robo_unet", no_scale=no_scale)
+# hyper-table kwargs per deployed variant (cli/train.py model_hyper)
+_VARIANTS = {
+    "flagship": {},
+    "v2": dict(v2=True, levels=1, belly_size=9, class_size=3, belly_planes=64),
+    "unet": dict(pool=True, levels=3, belly_size=0),
+}
+
+
+@pytest.mark.parametrize("variant,no_scale,hw", [
+    ("flagship", True, (64, 64)), ("flagship", False, (32, 64)),
+    ("v2", False, (32, 64)), ("v2", True, (64, 64)),
+    ("unet", False, (32, 64)),
+])
+def test_packed_logits_match_reference_apply(variant, no_scale, hw):
+    model = zoo.make("robo_unet", no_scale=no_scale, **_VARIANTS[variant])
     params = _randomized_params(model, 1 if no_scale else 2)
     pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
 
@@ -91,13 +105,66 @@ def test_packed_logits_match_reference_apply(no_scale, hw):
         np.asarray(labels), np.asarray(jnp.argmax(want, axis=-1)))
 
 
-def test_packed_rejects_unsupported_variants():
+def test_packed_label_prop_matches_reference_apply():
+    """The packed LabelProp graph (8-ch full-res input — the worst
+    lane-waste case) is per-pixel exact vs zoo.label_prop_apply, including
+    the channel-slice skip (reference model.py:565)."""
+    model = zoo.make("label_prop")
+    params = _randomized_params(model, 5)
+    pi = packed.build_packed_label_prop(model, params, dtype=jnp.float32)
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 8)), jnp.float32)
+    want, _ = model.apply(params, x)
+    got = pi.logits(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(pi.infer(x)), np.asarray(jnp.argmax(want, axis=-1)))
+
+
+@pytest.mark.parametrize("no_scale", [False, True])
+def test_packed_pb_fcn_matches_reference_apply(no_scale):
+    """Packed PB_FCN (tester.py's latency/deployment net, incl. the dilated
+    DownSampler stem) is per-pixel exact vs zoo.pb_fcn_apply."""
+    model = zoo.make("pb_fcn", no_scale=no_scale)
+    params = _randomized_params(model, 8 + no_scale)
+    pi = packed.build_packed_pb_fcn(model, params, dtype=jnp.float32)
+
+    rng = np.random.default_rng(9)
+    hw = (64, 64) if no_scale else (32, 64)
+    x = jnp.asarray(rng.standard_normal((2, *hw, 3)), jnp.float32)
+    want, _ = model.apply(params, x)
+    got = pi.logits(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(pi.infer(x)), np.asarray(jnp.argmax(want, axis=-1)))
+
+
+def test_packed_pb_fcn_2_matches_reference_apply():
+    """PB_FCN_2 seg (reference model.py:416-459) rides the flagship plan via
+    the cfg mapping in build_packed_infer."""
+    model = zoo.make("pb_fcn_2", classify=False)
+    params = _randomized_params(model, 10)
+    pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 3)), jnp.float32)
+    want, _ = model.apply(params, x)
+    got = pi.logits(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_packed_rejects_other_families():
+    m = zoo.make("pb_fcn")
     with pytest.raises(AssertionError):
-        m = zoo.make("robo_unet", v2=True)
         packed.build_packed_infer(m, m.init(jax.random.PRNGKey(0)))
     with pytest.raises(AssertionError):
-        m = zoo.make("robo_unet", pool=True)
-        packed.build_packed_infer(m, m.init(jax.random.PRNGKey(0)))
+        packed.build_packed_label_prop(m, m.init(jax.random.PRNGKey(0)))
 
 
 # ---- packed TRAINING graph ---------------------------------------------------

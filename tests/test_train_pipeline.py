@@ -283,6 +283,36 @@ def test_streaming_batches(data_root):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_streaming_process_sharded_partition():
+    """Multi-host (DCN) input sharding: loader instances with distinct
+    process_index partition an epoch DISJOINTLY and their union is exactly
+    the full epoch (identically-seeded permutations, SURVEY §2.8)."""
+    from robocupvision_tpu.data.streaming import StreamingBatches
+
+    n = 23
+
+    class IdDataset:  # image encodes its own index
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            return (np.full((2, 2, 3), i, np.float32), np.int32(i))
+
+    seen = []
+    for pi in range(3):
+        ids = []
+        stream = StreamingBatches(IdDataset(), 4,
+                                  np.random.default_rng(7),  # same seed!
+                                  process_index=pi, process_count=3)
+        for imgs, labs, mask in stream:
+            ids.extend(int(l) for l, m in zip(np.asarray(labs),
+                                              np.asarray(mask)) if m > 0)
+        assert len(ids) == len(range(pi, n, 3))
+        seen.append(set(ids))
+    assert seen[0] | seen[1] | seen[2] == set(range(n))
+    assert not (seen[0] & seen[1] or seen[0] & seen[2] or seen[1] & seen[2])
+
+
 def test_train_epoch_streamed_matches_cached(data_root):
     """Trainer.train_epoch_streamed (prefetching host pipeline) produces the
     exact same params as feeding the identical batches from the HBM cache —
@@ -323,16 +353,62 @@ def test_train_epoch_streamed_matches_cached(data_root):
         np.testing.assert_allclose(p_stream[k], p_cached[k], rtol=0, atol=0)
 
 
+def test_train_run_chunked_streams_and_carries_best(data_root):
+    """Chunked train_run: per-chunk on_chunk callbacks fire with that chunk's
+    metrics and (iff improved) the best params so far; the concatenated
+    metrics cover every epoch; the returned best carries across chunk
+    boundaries (VERDICT r2 #2: durable checkpoints + live progress without
+    giving up scanned epochs)."""
+    import jax
+    import pytest as _pytest
+
+    from robocupvision_tpu.data.datasets import SSYUVDataset
+    from robocupvision_tpu.data.device_cache import DeviceCache
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import optim, step as tstep
+    from robocupvision_tpu.train.loop import Trainer
+
+    ds = SSYUVDataset(data_root, (48, 64), train=True)
+    cache = DeviceCache.from_numpy(*ds.load_all())
+    model = zoo.make("robo_unet", planes=4, depth=3, levels=1, belly_size=2,
+                     belly_planes=8)
+    cfg = tstep.StepCfg(num_classes=5, out_size=1.0 / (48 * 64))
+    tr = Trainer(model, optim.adam(), cfg, cache, cache, batch_size=5)
+    tr.init(jax.random.PRNGKey(0))
+
+    calls = []
+    best, bp, ms = tr.train_run(
+        5, [1e-3] * 5, chunk_epochs=2,
+        on_chunk=lambda off, m, b: calls.append(
+            (off, len(m["better"]), None if b is None else dict(b))))
+    assert [(c[0], c[1]) for c in calls] == [(0, 2), (2, 2), (4, 1)]
+    assert len(ms["better"]) == 5 and ms["conf"].shape[0] == 5
+    # best score is the max over ALL epochs (carried across chunks)
+    assert best == _pytest.approx(float(ms["score"].max()), rel=1e-5)
+    if bp is not None:
+        # the last callback that reported an improvement saw exactly the
+        # params train_run finally returned
+        last_improved = [c[2] for c in calls if c[2] is not None][-1]
+        for k in bp:
+            np.testing.assert_array_equal(bp[k], last_improved[k], err_msg=k)
+    # a short LR list must fail loudly, not silently reuse the last LR
+    with _pytest.raises(AssertionError):
+        tr.train_run(3, [1e-3] * 2)
+
+
 def test_streaming_overlaps_decode_with_compute():
     """The producer thread must decode the next batches while the consumer
-    works: with decode ~= consume cost, wall clock approaches max(decode,
-    consume), not their sum."""
+    works. Asserted on EVENT INTERLEAVING, not wall clock: decode events
+    must land inside the consumer's work windows (a wall-time margin flaked
+    at 4% on this 1-core box — VERDICT r2 weak #2; sleep releases the GIL,
+    so a correctly-overlapping producer interleaves deterministically)."""
     import time
 
     from robocupvision_tpu.data.streaming import StreamingBatches
 
     delay = 0.02
     n, bs = 40, 4  # 10 batches
+    decode_times = []
 
     class SlowDataset:
         def __len__(self):
@@ -340,15 +416,22 @@ def test_streaming_overlaps_decode_with_compute():
 
         def __getitem__(self, i):
             time.sleep(delay / bs)  # per-item decode cost
+            decode_times.append(time.perf_counter())
             return (np.zeros((4, 4, 3), np.float32), np.int32(0))
 
-    t0 = time.perf_counter()
+    consume_spans = []
     for _ in StreamingBatches(SlowDataset(), bs):
+        t0 = time.perf_counter()
         time.sleep(delay)  # per-batch consume cost
-    wall = time.perf_counter() - t0
-    serial = 2 * (n // bs) * delay
-    # overlapped: ~1x the per-batch cost + one pipeline fill; serial: ~2x.
-    assert wall < 0.75 * serial, f"no overlap: wall={wall:.3f}s serial={serial:.3f}s"
+        consume_spans.append((t0, time.perf_counter()))
+
+    overlapped = sum(1 for t in decode_times
+                     if any(a < t < b for a, b in consume_spans))
+    # a serial pipeline would decode strictly between consume windows; the
+    # prefetching producer decodes *during* them — require real overlap on
+    # a majority of batches, a property untouched by scheduler noise
+    assert overlapped >= n // 2, \
+        f"only {overlapped}/{n} decodes overlapped a consume window"
 
 
 @pytest.mark.slow
