@@ -130,6 +130,22 @@ def bench_vga_inference():
         sorted(serve_once() for _ in range(3))[1]
     _emit(out)
 
+    # serving via the packed-label output (no device-side depth-to-space;
+    # host numpy unpack included in the timed loop — same wire bytes)
+    device_fn, host_unpack = pi.infer_u8_packed()
+    pfn8p = jax.jit(device_fn)
+    host_unpack(pfn8p(x1))  # warm
+
+    def serve_packed_once():
+        t0 = time.perf_counter()
+        for _ in range(serve_iters):
+            host_unpack(pfn8p(x1))
+        return serve_iters / (time.perf_counter() - t0)
+
+    out["fps_serving_packed_label_output"] = \
+        sorted(serve_packed_once() for _ in range(3))[1]
+    _emit(out)
+
     # 3. packed batched throughput
     if _left() > 60:
         out["fps_packed_bf16_b4_throughput"] = 4.0 / _time(pfn, x4, iters=100)
@@ -150,6 +166,18 @@ def bench_vga_inference():
     if _left() > 60:
         out["fps_f32_b1"] = 1.0 / _time(make_infer(jnp.float32), params, x1,
                                         iters=50)
+        _emit(out)
+
+    # packed LabelProp (the temporal net validLabelProp.py latency-measures;
+    # its 8-ch full-res input is the repo's worst lane-waste case)
+    if _left() > 60:
+        lp_model = zoo.make("label_prop")
+        lp_params = lp_model.init(jax.random.PRNGKey(0))
+        lp = packed.build_packed_label_prop(lp_model, lp_params, jnp.bfloat16)
+        xlp = jax.random.normal(jax.random.PRNGKey(1), (1, 120, 160, 8),
+                                jnp.float32)
+        out["fps_label_prop_packed_qvga_b1"] = \
+            1.0 / _time(jax.jit(lp.infer), xlp, iters=200)
         _emit(out)
     return out
 

@@ -41,7 +41,7 @@ Measured (BENCH/PERF.md): VGA b1 2.24 ms -> ~0.4 ms (bf16).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -298,7 +298,9 @@ class _PackedBase:
     def infer(self, x: jax.Array) -> jax.Array:
         """(N, H, W, Cin) input -> (N, H, W) int32 label map. The argmax
         runs in the packed domain (per-phase over num_classes) so no
-        wide-lane full-res buffer is ever materialized."""
+        wide-lane full-res buffer is ever materialized. (The depth-to-space
+        stays s32: a u8 variant measured SLOWER on v5e — 1672 vs 1808 fps —
+        TPU sublane transposes handle 32-bit better than packed 8-bit.)"""
         lp = self._logits_packed(x)
         n, hp, wp, _ = lp.shape
         lab = jnp.argmax(lp.reshape(n, hp, wp, 16, self.cfg.num_classes),
@@ -311,6 +313,29 @@ class _PackedBase:
         (a VGA int32 map is 1.2 MB/frame; the robot consumes uint8 anyway,
         cf. the engine's uint8 label maps)."""
         return self.infer(x).astype(jnp.uint8)
+
+    def infer_u8_packed(self) -> Tuple:
+        """Serving-optimal pair (device_fn, host_unpack): the device returns
+        the (N, H/4, W/4, 16) packed uint8 labels — NO depth-to-space op on
+        device at all (measured 1979 vs 1808 fps on v5e, the r2 profile's
+        ~75 us d2s removed) — and ``host_unpack`` (pure numpy, ~0.1 ms/
+        frame) rearranges the readback into the (N, H, W) map. Same bytes
+        on the wire; removes the device-side label transpose entirely."""
+        def device_fn(x):
+            lp = self._logits_packed(x)
+            n, hp, wp, _ = lp.shape
+            return jnp.argmax(
+                lp.reshape(n, hp, wp, 16, self.cfg.num_classes),
+                axis=-1).astype(jnp.uint8)
+
+        def host_unpack(packed_labels):
+            a = np.asarray(packed_labels)
+            n, hp, wp, _ = a.shape
+            a = a.reshape(n, hp, wp, 4, 4)
+            return np.ascontiguousarray(
+                a.transpose(0, 1, 3, 2, 4)).reshape(n, hp * 4, wp * 4)
+
+        return device_fn, host_unpack
 
     # -- block interpreter --------------------------------------------------
 

@@ -249,6 +249,18 @@ def test_packed_train_step_matches_standard():
             float(o_pk["correct"]), abs=0.002 * 6 * 48 * 64)
 
 
+def test_packed_infer_u8_packed_roundtrip():
+    """The serving-optimal packed-label output + host unpack equals the
+    device-side depth-to-space path exactly."""
+    model = zoo.make("robo_unet")
+    params = model.init(jax.random.PRNGKey(0))
+    pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 64, 3), jnp.float32)
+    device_fn, host_unpack = pi.infer_u8_packed()
+    got = host_unpack(device_fn(x))
+    np.testing.assert_array_equal(got, np.asarray(pi.infer_u8(x)))
+
+
 def test_packed_infer_u8_matches_int32():
     model = zoo.make("robo_unet", no_scale=True)
     params = model.init(jax.random.PRNGKey(0))
