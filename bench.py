@@ -291,7 +291,7 @@ def bench_scan_epoch(n: int = 2048, batch: int = 64, epochs: int = 3):
     return out
 
 
-def bench_streamed_epoch(n: int = 512, batch: int = 64, epochs: int = 3):
+def bench_streamed_epoch(n: int = 256, batch: int = 64, epochs: int = 2):
     """Streamed training (prefetching host pipeline, data/streaming.py) vs
     the same per-step path fed from the HBM cache — the big-dataset story.
 
@@ -508,8 +508,8 @@ def main():
             failed.remove("vga")
     extra.update(vga)
     extra.update(run("train", cap=300, reserve=75))
-    extra.update(run("scan", cap=180, reserve=50))
-    extra.update(run("streamed", cap=150, reserve=30))
+    extra.update(run("scan", cap=150, reserve=50))
+    extra.update(run("streamed", cap=180, reserve=30))
     extra.update(run("torch", cap=90, reserve=10))
 
     gf_vga, gf_qvga = analytic_gflops()

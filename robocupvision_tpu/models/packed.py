@@ -152,30 +152,48 @@ def pack_conv_weight(w: np.ndarray, f_in: int, f_out: int, stride: int = 1,
     return wp
 
 
-def pack_stem_weight_grouped(w: np.ndarray, f: int = 4) -> np.ndarray:
+def pack_stem_weight_grouped(w: np.ndarray, f: int = 4,
+                             group: Optional[int] = None) -> np.ndarray:
     """Fold space-to-depth(f) into the stem conv, grouped-input form.
 
-    The raw (N, H, W, 3) image is viewed as (N, H, W/f, f*3) — a free dense
-    reshape — so the stem conv reads 12 lanes instead of 3 and no transpose
-    op is ever materialized (the s2d reshape was the single most expensive
-    op in the first packed graph: 165 us/frame). Returns a
-    (f+2, 3, f*cin, f^2*cout) kernel such that
-    ``conv2d(x.reshape(N, H, W//f, f*cin), W', stride=(f, 1), padding=1)``
-    equals the packed Level0 output. Column tap g covers the previous /
-    own / next f-pixel group; unused positions hold zeros.
+    The raw (N, H, W, cin) image is viewed as (N, H, W/group, group*cin) —
+    a free dense reshape — so the stem conv reads group*cin lanes instead
+    of cin and no transpose op is ever materialized (the s2d reshape was
+    the single most expensive op in the first packed graph: 165 us/frame).
+
+    ``group`` (a multiple of f, default f) trades nominal FLOPs for lane
+    density: the (8,128)-tiled input buffer pads group*cin lanes to 128, so
+    wider groups shrink the padded input bytes ~linearly, while the dense
+    kernel covers 3 groups and so grows MACs ~linearly. Measured on v5e:
+    group=f WINS everywhere (flagship VGA 1815 vs 1700 fps at group 8-32;
+    LabelProp 4060 vs 3368 at group 16) — the emitter's wide-kernel cost
+    exceeds the padded-byte saving. The knob stays (correctness pinned for
+    group in {4,8,16}) as the measured record.
+
+    Returns a (f+2, 3, group*cin, (group/f)*f^2*cout) kernel such that
+    ``conv2d(x.reshape(N, H, W//group, group*cin), W', stride=(f, 1),
+    padding=1).reshape(N, H/f, W/f, f*f*cout)`` — the output reshape is
+    contiguous, hence free — equals the packed Level0 output. Column tap g
+    covers the previous / own / next pixel group; unused positions hold
+    zeros.
     """
     kh, kw, cin, cout = w.shape
     assert kh == kw == 3, w.shape
-    wp = np.zeros((f + 2, 3, f * cin, f * f * cout), w.dtype)
-    for qy in range(f):
-        for qx in range(f):
-            for dy in range(3):
-                for dx in range(3):
-                    e = qx + dx - 1
-                    g = 1 + (e // f)          # group tap: prev/own/next
-                    px = e % f                # pixel within that group
-                    wp[qy + dy, g, px * cin:(px + 1) * cin,
-                       (qy * f + qx) * cout:(qy * f + qx + 1) * cout] = w[dy, dx]
+    group = f if group is None else group
+    assert group % f == 0, (group, f)
+    cells = group // f
+    wp = np.zeros((f + 2, 3, group * cin, cells * f * f * cout), w.dtype)
+    for cell in range(cells):
+        for qy in range(f):
+            for qx in range(f):
+                for dy in range(3):
+                    for dx in range(3):
+                        e = cell * f + qx + dx - 1  # pixel within group
+                        g = 1 + (e // group)        # group tap: prev/own/next
+                        p = e % group
+                        co0 = (cell * f * f + qy * f + qx) * cout
+                        wp[qy + dy, g, p * cin:(p + 1) * cin,
+                           co0:co0 + cout] = w[dy, dx]
     return wp
 
 
@@ -225,6 +243,9 @@ class _Blk:
     # materialized — the packed weight is split into .w0/.w1 halves applied
     # to the parts and summed (see the concat note above)
     split2: bool = False
+    # stem blocks: input-group width in pixels (0 = f_out); wider groups
+    # trade nominal FLOPs for lane density (pack_stem_weight_grouped)
+    group: int = 0
     # param-key overrides for blocks whose conv/BN keys don't follow the
     # name+".conv"/name+".bn" convention (e.g. ConvPool's conv1/pool/bn)
     wkey: str = ""
@@ -248,7 +269,7 @@ class _Plan:
     belly: bool      # PB.PB_1 / PB.PB_2 bottleneck between down and up
 
 
-def _robo_unet_plan(cfg: RoboUNetCfg) -> _Plan:
+def _robo_unet_plan(cfg: RoboUNetCfg, stem_group: int = 0) -> _Plan:
     """Packed plan for the full ROBO-UNet family: flagship (strided convs,
     additive skips), --UNet (pool=True: maxpool downs), --v2 (concat skips,
     doubled up channels, 3x3 class head) — reference model.py:461-536."""
@@ -258,7 +279,8 @@ def _robo_unet_plan(cfg: RoboUNetCfg) -> _Plan:
 
     downs = []
     f0 = _f_at(0)
-    blks = [_Blk("stem", "downPart.Level0.layers.Conv0", f0, f0)]
+    blks = [_Blk("stem", "downPart.Level0.layers.Conv0", f0, f0,
+                 group=stem_group)]
     for i in range(1, n0):
         blks.append(_Blk("pconv", f"downPart.Level0.layers.Conv{i}", f0, f0))
     downs.append(tuple(blks))
@@ -365,15 +387,21 @@ class _PackedBase:
                 else nn.max_pool(x, 2, 2)
         if blk.kind == "stem":
             # s2d(f) folded into a (f+2, 3)/stride-(f, 1) conv on the grouped
-            # input view (N, H, W/f, f*cin) — a free dense reshape; reads
-            # f*cin lanes instead of cin (measured: 0.71 -> 0.56 ms
-            # full-graph vs the stride-4 6x6 form)
+            # input view (N, H, W/G, G*cin) — a free dense reshape; reads
+            # G*cin lanes instead of cin (measured: 0.71 -> 0.56 ms
+            # full-graph vs the stride-4 6x6 form at G=f; wider G shrinks
+            # the padded-lane input further — pack_stem_weight_grouped)
             f = blk.f_out
+            G = blk.group or f
             n, H, W, c = x.shape
-            xg = x.reshape(n, H, W // f, f * c)
+            xg = x.reshape(n, H, W // G, G * c)
             y = nn.conv2d(xg, pp[blk.w_prefix + ".w"], pp[blk.w_prefix + ".b"],
                           stride=(f, 1), padding=1)
-            return self._affine(blk.w_prefix, y, blk.rbb)
+            y = self._affine(blk.w_prefix, y, blk.rbb)
+            if G != f:  # (H/f, W/G, cells*f^2*cout) -> packed; contiguous
+                n2, hp, wg, cg = y.shape
+                y = y.reshape(n2, hp, wg * (G // f), cg // (G // f))
+            return y
         if blk.kind == "head":
             return self._conv_packed(blk.name, x)
         if blk.kind == "ptconv":
@@ -445,6 +473,8 @@ class PackedLabelPropInfer(_PackedBase):
     packed: Params
     plain: Params
     dtype: jnp.dtype
+    stem_group: int = 4    # wider groups measured slower on v5e (see
+                           # pack_stem_weight_grouped docstring)
 
     def _logits_packed(self, x: jax.Array) -> jax.Array:
         p = self.plain
@@ -455,7 +485,8 @@ class PackedLabelPropInfer(_PackedBase):
             return L.conv_pool_simple(p, mut, name, x, stride, padding,
                                       dilation, False)
 
-        top = self._blk(_Blk("stem", "pre", 4, 4, rbb=False), h, mut)
+        top = self._blk(_Blk("stem", "pre", 4, 4, rbb=False,
+                             group=self.stem_group), h, mut)
         middle = self._blk(_Blk("pconv", "down1", 4, 2, stride=2, rbb=False),
                            top, mut)
         bottom = self._blk(_Blk("pconv", "down2", 2, 1, stride=2, rbb=False),
@@ -755,9 +786,17 @@ def _pack_blocks(np_params: Params, blks, dtype) -> Params:
             continue
         if blk.kind == "stem":
             w = np_params[blk.w_prefix + ".weight"]
-            put(blk.w_prefix + ".w", pack_stem_weight_grouped(w, blk.f_out))
-            put_bias(blk, blk.w_prefix, blk.w_prefix)
-            put_affine(blk, blk.w_prefix)
+            G = blk.group or blk.f_out
+            put(blk.w_prefix + ".w",
+                pack_stem_weight_grouped(w, blk.f_out, G))
+            t = (G // blk.f_out) * blk.f_out * blk.f_out
+            bias = np_params.get(blk.w_prefix + ".bias")
+            if bias is None:
+                bias = np.zeros(w.shape[-1], np.float32)
+            put(blk.w_prefix + ".b", np.tile(bias, t))
+            scale, shift = _fold_bn(np_params, blk.bn_prefix)
+            put(blk.w_prefix + ".scale", np.tile(scale, t))
+            put(blk.w_prefix + ".shift", np.tile(shift, t))
             continue
         if blk.kind == "ptconv":
             if blk.f_out == 1:
@@ -783,7 +822,8 @@ def _pack_blocks(np_params: Params, blks, dtype) -> Params:
 
 
 def build_packed_infer(model: Model, params: Params,
-                       dtype: jnp.dtype = jnp.bfloat16) -> PackedInfer:
+                       dtype: jnp.dtype = jnp.bfloat16,
+                       stem_group: int = 0) -> PackedInfer:
     """Compile a trained ROBO-UNet for TPU inference (exact rewrite).
 
     Supports the whole deployed ROBO-UNet family (reference model.py:461-536,
@@ -805,7 +845,9 @@ def build_packed_infer(model: Model, params: Params,
                           belly_planes=cfg.belly_planes)
     assert isinstance(cfg, RoboUNetCfg), "use build_packed_label_prop etc."
     assert cfg.eff_depth >= 4
-    plan = _robo_unet_plan(cfg)
+    # stem_group=0 (= f): wider groups measured SLOWER on v5e (see
+    # pack_stem_weight_grouped's docstring for the sweep)
+    plan = _robo_unet_plan(cfg, stem_group)
 
     np_params = {k: np.asarray(v) for k, v in params.items()}
     all_blks = [b for lvl in plan.downs for b in lvl] + list(plan.ups) \
@@ -816,8 +858,8 @@ def build_packed_infer(model: Model, params: Params,
 
 
 def build_packed_label_prop(model: Model, params: Params,
-                            dtype: jnp.dtype = jnp.bfloat16
-                            ) -> PackedLabelPropInfer:
+                            dtype: jnp.dtype = jnp.bfloat16,
+                            stem_group: int = 4) -> PackedLabelPropInfer:
     """Compile a trained LabelProp net for TPU inference (exact rewrite of
     zoo.label_prop_apply / reference model.py:538-567). The 8-channel
     full-resolution input is the repo's worst lane-waste case: the packed
@@ -826,7 +868,7 @@ def build_packed_label_prop(model: Model, params: Params,
     assert isinstance(cfg, LabelPropCfg), "packed LP is the LabelProp family"
     np_params = {k: np.asarray(v) for k, v in params.items()}
     blks = [
-        _Blk("stem", "pre", 4, 4, rbb=False),
+        _Blk("stem", "pre", 4, 4, rbb=False, group=stem_group),
         _Blk("pconv", "down1", 4, 2, stride=2, rbb=False),
         _Blk("pconv", "down2", 2, 1, stride=2, rbb=False),
         _Blk("ptconv", "upConv2", 1, 2, rbb=False),
@@ -840,7 +882,7 @@ def build_packed_label_prop(model: Model, params: Params,
         pack_conv_weight(np_params["classifier.weight"][:, :, :c_pre], 4, 4, 1),
         dtype)
     plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
-    return PackedLabelPropInfer(cfg, packed, plain, dtype)
+    return PackedLabelPropInfer(cfg, packed, plain, dtype, stem_group)
 
 
 def build_packed_pb_fcn(model: Model, params: Params,

@@ -53,6 +53,26 @@ def test_pack_tconv_weight_identity(f_in):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("group,cin", [(4, 3), (8, 3), (16, 3), (16, 8)])
+def test_pack_stem_weight_grouped_identity(group, cin):
+    """The grouped stem conv (+ the free output reshape) equals
+    s2d(conv(x)) for any group width (the lane-density knob)."""
+    rng = np.random.default_rng(group + cin)
+    f, cout = 4, 6
+    H, W = 16, 32
+    x = jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
+
+    want = packed.space_to_depth(nn.conv2d(x, w, padding=1), f)
+    wp = packed.pack_stem_weight_grouped(np.asarray(w), f, group)
+    xg = x.reshape(2, H, W // group, group * cin)
+    y = nn.conv2d(xg, jnp.asarray(wp), stride=(f, 1), padding=1)
+    n, hp, wg, cg = y.shape
+    got = y.reshape(n, hp, wg * (group // f), cg // (group // f))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_space_to_depth_round_trip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 16, 8, 3)), jnp.float32)
@@ -259,6 +279,28 @@ def test_packed_infer_u8_packed_roundtrip():
     device_fn, host_unpack = pi.infer_u8_packed()
     got = host_unpack(device_fn(x))
     np.testing.assert_array_equal(got, np.asarray(pi.infer_u8(x)))
+
+
+def test_packed_infer_data_sharded_matches_single_device():
+    """Multi-chip batched serving: the packed graph jits over a data-sharded
+    batch (8-device mesh) with identical label maps — the packed weights
+    replicate, the batch partitions, XLA inserts no cross-device traffic."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from robocupvision_tpu.parallel import mesh as pmesh
+
+    model = zoo.make("robo_unet")
+    params = _randomized_params(model, 12)
+    pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 32, 64, 3), jnp.float32)
+    want = np.asarray(pi.infer(x))
+
+    mesh = pmesh.make_mesh(8, spatial=1)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with mesh:
+        got = jax.jit(pi.infer)(xs)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_packed_infer_u8_matches_int32():
