@@ -3,7 +3,9 @@
 Measures ROBO-UNet 480x640 (--noScale, tester.py-style) segmentation
 inference on one chip — bf16 batch-1 latency-mode fps as the headline, plus
 batched throughput, serving-loop rate, and train steps/sec at the train.py
-default config — and prints ONE JSON line:
+default config — and prints a cumulative JSON line after every stage (the
+LAST stdout line is always the most complete report, even if the process
+is killed mid-run):
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -29,7 +31,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 _T0 = time.monotonic()
-_DEADLINE = float(os.environ.get("BENCH_DEADLINE_SECS", "840"))
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE_SECS", "780"))
 _CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                             "/root/repo/.jax_bench_cache")
 
@@ -477,41 +479,12 @@ def _stage_subprocess(stage: str, budget: float) -> dict:
     return result
 
 
-def main():
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    extra = {}
-    failed = []
-
-    def run(stage: str, cap: float, reserve: float) -> dict:
-        """Give ``stage`` min(cap, remaining - reserve) seconds; skip it
-        outright (marker, not a hang) if that's under 45 s."""
-        budget = min(cap, _left() - reserve)
-        if budget < 45:
-            sys.stderr.write(f"bench stage {stage}: skipped "
-                             f"({_left():.0f}s left)\n")
-            failed.append(stage + ":skipped")
-            return {}
-        sys.stderr.write(f"bench stage {stage}: budget {budget:.0f}s "
-                         f"({_left():.0f}s left)\n")
-        out = _stage_subprocess(stage, budget)
-        if not out:
-            failed.append(stage)
-        return out
-
-    # headline first; one retry (compilation cache makes the retry cheap)
-    vga = run("vga", cap=420, reserve=120)
-    if "fps_packed_bf16_b1" not in vga and _left() > 240:
-        sys.stderr.write("bench: retrying headline stage\n")
-        vga2 = run("vga", cap=300, reserve=90)
-        vga = {**vga2, **vga} if vga2 else vga
-        if vga and "vga" in failed:
-            failed.remove("vga")
-    extra.update(vga)
-    extra.update(run("train", cap=300, reserve=75))
-    extra.update(run("scan", cap=150, reserve=50))
-    extra.update(run("streamed", cap=180, reserve=30))
-    extra.update(run("torch", cap=90, reserve=10))
-
+def _assemble(extra_raw: dict, failed: list) -> dict:
+    """Build the final JSON payload from whatever has been measured so far
+    (called after EVERY stage: the last stdout line is always a complete,
+    parseable report, so a driver-side kill at any point still leaves the
+    completed stages' numbers in the tail)."""
+    extra = dict(extra_raw)
     gf_vga, gf_qvga = analytic_gflops()
     extra["analytic_fwd_gflops_vga"] = round(gf_vga, 3)
 
@@ -554,17 +527,57 @@ def main():
         if old in extra:
             extra[new] = extra.pop(old)
     if failed:
-        extra["failed_stages"] = failed
+        extra["failed_stages"] = list(failed)
     extra = {k: (round(v, 2) if isinstance(v, float) else v)
              for k, v in extra.items()}
 
-    print(json.dumps({
+    return {
         "metric": "robo_unet_vga_640x480_inference_fps_per_chip",
         "value": round(fps, 2) if fps else None,
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 2) if fps else None,
         "extra": extra,
-    }), flush=True)
+    }
+
+
+def main():
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    extra = {}
+    failed = []
+
+    def emit():
+        print(json.dumps(_assemble(extra, failed)), flush=True)
+
+    def run(stage: str, cap: float, reserve: float) -> dict:
+        """Give ``stage`` min(cap, remaining - reserve) seconds; skip it
+        outright (marker, not a hang) if that's under 45 s."""
+        budget = min(cap, _left() - reserve)
+        if budget < 45:
+            sys.stderr.write(f"bench stage {stage}: skipped "
+                             f"({_left():.0f}s left)\n")
+            failed.append(stage + ":skipped")
+            return {}
+        sys.stderr.write(f"bench stage {stage}: budget {budget:.0f}s "
+                         f"({_left():.0f}s left)\n")
+        out = _stage_subprocess(stage, budget)
+        if not out:
+            failed.append(stage)
+        return out
+
+    # headline first; one retry (compilation cache makes the retry cheap)
+    vga = run("vga", cap=420, reserve=120)
+    if "fps_packed_bf16_b1" not in vga and _left() > 240:
+        sys.stderr.write("bench: retrying headline stage\n")
+        vga2 = run("vga", cap=300, reserve=90)
+        vga = {**vga2, **vga} if vga2 else vga
+        if vga and "vga" in failed:
+            failed.remove("vga")
+    extra.update(vga)
+    emit()
+    for stage, cap, reserve in [("train", 300, 75), ("scan", 150, 50),
+                                ("streamed", 180, 30), ("torch", 90, 10)]:
+        extra.update(run(stage, cap, reserve))
+        emit()
 
 
 if __name__ == "__main__":

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "chunk (durable mid-run, reference train.py:197-201 "
                    "semantics at chunk granularity); 0 = one dispatch for "
                    "the whole run", type=int, default=25)
+    p.add_argument("--resume", help="Write a per-chunk resume snapshot "
+                   "(full TrainState + optimizer + best + rng) and, if one "
+                   "exists, continue the killed run from it bit-identically",
+                   action="store_true", default=False)
     return p
 
 
@@ -212,9 +216,14 @@ def main(argv=None) -> int:
                 if chunk_best is not None:
                     checkpoint.save(path, model.registry, chunk_best)
 
+            resume_path = None
+            if opt.resume:
+                resume_path = f"{path}.resume-T{transfer}-{decay:g}.npz"
             best_loss, best_params, ms = tr.train_run(
                 epochs, lrs, chunk_epochs=opt.chunkEpochs or None,
-                on_chunk=on_chunk)
+                on_chunk=on_chunk, resume_path=resume_path)
+            if resume_path is not None and os.path.exists(resume_path):
+                os.remove(resume_path)  # run completed; snapshot obsolete
             if best_params is not None:
                 checkpoint.save(path, model.registry, best_params)
             best_loss_final = best_loss

@@ -73,3 +73,51 @@ def load_any(path: str, reg: Registry) -> Dict[str, np.ndarray]:
 
 def exists(path: str) -> bool:
     return os.path.exists(path)
+
+
+# ---- crash-resume state (framework extension) -------------------------------
+#
+# The reference's "resume" is warm-starting the next pipeline stage from the
+# best weights (SURVEY §5) — no optimizer state, no step counter. The chunked
+# fused train loop (Trainer.train_run) extends that to TRUE crash resume: the
+# full TrainState (params + optax state), the on-device best carry, the rng,
+# and the chunk cursor are written after every chunk; a killed run restarted
+# with --resume continues bit-identically (pinned by
+# tests/test_train_pipeline.py::test_train_run_resume_matches_uninterrupted).
+
+
+def save_resume(path: str, params: Dict[str, np.ndarray], opt_leaves,
+                best_score: float, best_params: Dict[str, np.ndarray],
+                rng: np.ndarray, next_chunk: int, meta: Dict) -> None:
+    """Atomically write a resume snapshot (tmp file + rename: a crash during
+    the write leaves the previous snapshot intact)."""
+    import json
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {f"p_{k}": np.asarray(v) for k, v in params.items()}
+    arrays.update({f"b_{k}": np.asarray(v) for k, v in best_params.items()})
+    arrays.update({f"o_{i}": np.asarray(v) for i, v in enumerate(opt_leaves)})
+    arrays["rng"] = np.asarray(rng)
+    arrays["best_score"] = np.float32(best_score)
+    arrays["next_chunk"] = np.int64(next_chunk)
+    arrays["meta"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8).copy()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_resume(path: str):
+    """-> (params, opt_leaves, best_score, best_params, rng, next_chunk,
+    meta)."""
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        params = {k[2:]: z[k] for k in z.files if k.startswith("p_")}
+        best_params = {k[2:]: z[k] for k in z.files if k.startswith("b_")}
+        n_opt = sum(1 for k in z.files if k.startswith("o_"))
+        opt_leaves = [z[f"o_{i}"] for i in range(n_opt)]
+        meta = json.loads(bytes(z["meta"]).decode())
+        return (params, opt_leaves, float(z["best_score"]), best_params,
+                z["rng"], int(z["next_chunk"]), meta)

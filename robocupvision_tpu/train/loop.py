@@ -236,7 +236,8 @@ class Trainer:
     def train_run(self, epochs: int, lrs,
                   prune_masks: Optional[Dict[str, np.ndarray]] = None,
                   chunk_epochs: Optional[int] = None,
-                  on_chunk: Optional[Callable] = None):
+                  on_chunk: Optional[Callable] = None,
+                  resume_path: Optional[str] = None):
         """The whole train.py epoch loop (train epochs + per-epoch validation
         + best-model selection) as scanned device dispatches
         (train/step.py make_train_run_fn). ``lrs``: per-epoch LR list
@@ -252,6 +253,14 @@ class Trainer:
         single multi-hundred-epoch dispatch killed midway would save
         nothing). None = single dispatch, one fetch (the tunnel-optimal
         mode bench.py measures).
+
+        ``resume_path``: TRUE crash resume (framework extension — the
+        reference only warm-starts from best weights). After every chunk
+        the full TrainState (params + optimizer state), best carry, rng
+        and chunk cursor are snapshotted atomically to this path; if the
+        file already exists, the run continues from its cursor and the
+        final result is bit-identical to an uninterrupted run. The file is
+        NOT deleted on completion (callers decide).
 
         Returns (best_score, best_params | None, metrics) where metrics is a
         dict of (epochs,)-stacked arrays: train_loss/train_reg/
@@ -289,9 +298,36 @@ class Trainer:
             return fn
 
         carry = None
+        start_chunk = 0
+        any_better_before = False
+        if resume_path is not None:
+            import os
+
+            from robocupvision_tpu.models.layers import split_params
+            from robocupvision_tpu.train import checkpoint as ckpt
+
+            if os.path.exists(resume_path):
+                (pr, opt_leaves, bs0, bp0, rng_arr, start_chunk,
+                 meta) = ckpt.load_resume(resume_path)
+                assert meta["epochs"] == epochs and meta["chunks"] == chunks, \
+                    (meta, epochs, chunks)  # resume must match the schedule
+                dev = {k: jnp.asarray(v) for k, v in pr.items()}
+                trainable, _ = split_params(dev)
+                template = self.tx.init(trainable)
+                leaves, treedef = jax.tree_util.tree_flatten(template)
+                assert len(leaves) == len(opt_leaves), "optimizer mismatch"
+                opt_state = jax.tree_util.tree_unflatten(
+                    treedef, [jnp.asarray(v) for v in opt_leaves])
+                self.state = self._replicate(tstep.TrainState(dev, opt_state))
+                self.rng = jnp.asarray(rng_arr)
+                carry = (jnp.float32(bs0),
+                         {k: jnp.asarray(v) for k, v in bp0.items()})
+                any_better_before = bool(meta.get("any_better", False))
+                best_score, best_params = carry
         ms_parts = []
-        off = 0
-        for ce in chunks:
+        off = sum(chunks[:start_chunk])
+        for ci in range(start_chunk, len(chunks)):
+            ce = chunks[ci]
             self.state, best_score, best_params, ms = run_fn(ce)(
                 self.state, self.train_cache.images, self.train_cache.labels,
                 self.val_cache.images, self.val_cache.labels, self._next_rng(),
@@ -299,16 +335,34 @@ class Trainer:
             carry = (best_score, best_params)
             ms = jax.device_get(ms)
             ms_parts.append(ms)
+            any_better_before = any_better_before or bool(np.any(ms["better"]))
+            if resume_path is not None:
+                from robocupvision_tpu.train import checkpoint as ckpt
+
+                ckpt.save_resume(
+                    resume_path, self.params_numpy(),
+                    [np.asarray(v) for v in
+                     jax.tree_util.tree_leaves(self.state.opt_state)],
+                    float(best_score),
+                    {k: np.asarray(v) for k, v in best_params.items()},
+                    np.asarray(self.rng), ci + 1,
+                    {"epochs": epochs, "chunks": chunks,
+                     "any_better": any_better_before})
             if on_chunk is not None:
                 improved = bool(np.any(ms["better"]))
                 on_chunk(off, ms,
                          {k: np.asarray(v) for k, v in best_params.items()}
                          if improved else None)
             off += ce
+        if not ms_parts:  # resume file from an already-finished run
+            score = float(carry[0])
+            bp = {k: np.asarray(v) for k, v in carry[1].items()} \
+                if any_better_before else None
+            return score, bp, {}
         ms = {k: np.concatenate([m[k] for m in ms_parts])
               for k in ms_parts[0]} if len(ms_parts) > 1 else ms_parts[0]
         score = float(best_score)
-        if not bool(np.any(ms["better"])):
+        if not any_better_before:
             return score, None, ms
         return score, {k: np.asarray(v) for k, v in best_params.items()}, ms
 

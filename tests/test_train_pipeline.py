@@ -396,6 +396,68 @@ def test_train_run_chunked_streams_and_carries_best(data_root):
         tr.train_run(3, [1e-3] * 2)
 
 
+def test_train_run_resume_matches_uninterrupted(data_root, tmp_path):
+    """Crash resume: a run killed after chunk 2 of 3 and restarted with the
+    same resume_path produces BIT-IDENTICAL final params, best score and
+    best params to an uninterrupted run (full TrainState + optimizer +
+    rng + best carry are snapshotted per chunk)."""
+    import jax
+
+    from robocupvision_tpu.data.datasets import SSYUVDataset
+    from robocupvision_tpu.data.device_cache import DeviceCache
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.train import optim, step as tstep
+    from robocupvision_tpu.train.loop import Trainer
+
+    ds = SSYUVDataset(data_root, (48, 64), train=True)
+    cache = DeviceCache.from_numpy(*ds.load_all())
+    model = zoo.make("robo_unet", planes=4, depth=3, levels=1, belly_size=2,
+                     belly_planes=8)
+    cfg = tstep.StepCfg(num_classes=5, out_size=1.0 / (48 * 64))
+    lrs = [1e-3] * 6
+
+    def make():
+        tr = Trainer(model, optim.adam(), cfg, cache, cache, batch_size=5)
+        tr.init(jax.random.PRNGKey(3))
+        return tr
+
+    # reference: uninterrupted
+    tr = make()
+    best_a, bp_a, _ = tr.train_run(6, lrs, chunk_epochs=2)
+    p_a = tr.params_numpy()
+
+    # killed after the second chunk...
+    rp = str(tmp_path / "run.resume.npz")
+
+    class Kill(Exception):
+        pass
+
+    def killer(off, ms, best):
+        if off >= 2:  # second chunk done (offsets 0, 2, 4)
+            raise Kill
+
+    tr = make()
+    with pytest.raises(Kill):
+        tr.train_run(6, lrs, chunk_epochs=2, on_chunk=killer, resume_path=rp)
+    assert osp.exists(rp)
+
+    # ...and resumed in a FRESH trainer (different init seed on purpose —
+    # everything must come from the snapshot)
+    tr = make()
+    tr.init(jax.random.PRNGKey(999))
+    best_b, bp_b, ms_b = tr.train_run(6, lrs, chunk_epochs=2, resume_path=rp)
+    assert len(ms_b["better"]) == 2  # only the remaining chunk ran
+    p_b = tr.params_numpy()
+
+    assert best_a == best_b
+    for k in p_a:
+        np.testing.assert_array_equal(p_a[k], p_b[k], err_msg=k)
+    assert (bp_a is None) == (bp_b is None)
+    if bp_a is not None:
+        for k in bp_a:
+            np.testing.assert_array_equal(bp_a[k], bp_b[k], err_msg=k)
+
+
 def test_streaming_overlaps_decode_with_compute():
     """The producer thread must decode the next batches while the consumer
     works. Asserted on EVENT INTERLEAVING, not wall clock: decode events
