@@ -1,0 +1,54 @@
+"""bench.py output contract: the driver parses the LAST stdout JSON line,
+so _assemble must always produce a complete, honest report — explicit
+failure markers, no fabricated 0.0 headline values (VERDICT r2 weak #6)."""
+
+import importlib.util
+import os.path as osp
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_assemble_empty_reports_null_headline(bench):
+    out = bench._assemble({}, ["vga", "train:skipped"])
+    assert out["value"] is None and out["vs_baseline"] is None
+    assert out["extra"]["failed_stages"] == ["vga", "train:skipped"]
+    assert out["metric"] == "robo_unet_vga_640x480_inference_fps_per_chip"
+
+
+def test_assemble_full_derives_and_renames(bench):
+    extra = {
+        "fps_packed_bf16_b1": 1600.0,
+        "bfloat16": 140.0, "float32": 70.0, "best": 140.0,
+        "torch_cpu_reference_steps_per_sec": 0.42,
+        "scan_epoch_train_imgs_per_sec_bf16": 11000.0,
+        "streamed_train_imgs_per_sec_bf16": 400.0,
+        "transfer_roofline_imgs_per_sec": 500.0,
+    }
+    out = bench._assemble(extra, [])
+    e = out["extra"]
+    assert out["value"] == 1600.0
+    assert out["vs_baseline"] == pytest.approx(1600.0 / 30.0, rel=1e-3)
+    # per-step keys renamed to self-describing names
+    assert "bfloat16" not in e and "train_steps_per_sec_b64_qvga_bf16" in e
+    assert e["train_speedup_vs_torch_cpu"] == pytest.approx(
+        max(140.0, 11000.0 / 64.0) / 0.42, rel=1e-2)
+    assert e["streamed_vs_transfer_roofline_pct"] == pytest.approx(80.0)
+    assert e["infer_bf16_b1_mfu_pct"] > 0
+    assert "failed_stages" not in e
+    # the caller's dict must not be mutated (emit() runs repeatedly)
+    assert "bfloat16" in extra and "analytic_fwd_gflops_vga" not in extra
+
+
+def test_assemble_headline_falls_back_to_standard_graph(bench):
+    out = bench._assemble({"fps_bf16_b1_standard_graph": 400.0}, ["vga"])
+    assert out["value"] == 400.0
+    assert out["extra"]["failed_stages"] == ["vga"]

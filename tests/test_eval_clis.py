@@ -68,6 +68,34 @@ def test_tester_cli(env, monkeypatch, capsys):
     assert osp.exists("output/0.png")
 
 
+def test_tester_cli_packed_matches_standard(env, monkeypatch, capsys):
+    """tester.py --packed (PB_FCN packed graph, f32) prints identical
+    metrics and masks to the standard graph. Runs after test_tester_cli
+    (reuses its pth checkpoint)."""
+    monkeypatch.chdir(env["work"])
+    if not osp.exists("pth/bestModelSegVGA.pth"):
+        pytest.skip("tester checkpoint not present")
+    from PIL import Image
+
+    from robocupvision_tpu.cli import tester as cli_tester
+
+    rc = cli_tester.main(["--root", env["root"], "--noScale"])
+    assert rc == 0
+    out_plain = capsys.readouterr().out
+    mask_plain = np.asarray(Image.open("output/0.png"))
+
+    rc = cli_tester.main(["--root", env["root"], "--noScale", "--packed"])
+    assert rc == 0
+    out_packed = capsys.readouterr().out
+
+    def metrics(s):
+        return [l for l in s.splitlines() if l.startswith("Validation")]
+
+    assert metrics(out_packed) == metrics(out_plain)
+    np.testing.assert_array_equal(np.asarray(Image.open("output/0.png")),
+                                  mask_plain)
+
+
 def test_detect_cli(env, monkeypatch, capsys):
     monkeypatch.chdir(env["work"])
     from robocupvision_tpu.cli import detect as cli_detect

@@ -82,6 +82,11 @@ def test_label_prop_train_and_valid(env, monkeypatch, capsys):
     assert osp.exists("weightsLP/weights.dat")
     assert osp.exists("output/LabelProp/Synthetic/0.png")
 
+    # lane-packed LP graph (f32: identical label maps to the plain path)
+    rc = validLabelProp.main(["--root", env["root"], "--packed"])
+    assert rc == 0
+    assert "Mean IoU" in capsys.readouterr().out
+
     # optical-flow baseline (no checkpoint needed)
     rc = validLabelProp.main(["--root", env["root"], "--optFlow"])
     assert rc == 0
