@@ -170,6 +170,17 @@ def bench_vga_inference():
                                         iters=50)
         _emit(out)
 
+    # QVGA flagship (tester.py's DEFAULT working resolution, scale=4)
+    if _left() > 60:
+        mq = zoo.make("robo_unet")
+        pq = packed.build_packed_infer(mq, mq.init(jax.random.PRNGKey(0)),
+                                       dtype=jnp.bfloat16)
+        xq = jax.random.normal(jax.random.PRNGKey(1), (1, 120, 160, 3),
+                               jnp.float32)
+        out["fps_packed_qvga_b1"] = 1.0 / _time(jax.jit(pq.infer), xq,
+                                                iters=200)
+        _emit(out)
+
     # packed LabelProp (the temporal net validLabelProp.py latency-measures;
     # its 8-ch full-res input is the repo's worst lane-waste case)
     if _left() > 60:

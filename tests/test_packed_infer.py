@@ -94,11 +94,15 @@ def _randomized_params(model, seed):
     return {k: jnp.asarray(v) for k, v in params.items()}
 
 
-# hyper-table kwargs per deployed variant (cli/train.py model_hyper)
+# hyper-table kwargs per deployed variant (cli/train.py model_hyper), plus
+# off-table corners that the plan generality must still cover
 _VARIANTS = {
     "flagship": {},
     "v2": dict(v2=True, levels=1, belly_size=9, class_size=3, belly_planes=64),
     "unet": dict(pool=True, levels=3, belly_size=0),
+    "levels3_nobelly": dict(levels=3, belly_size=0),
+    "v2_pool": dict(v2=True, pool=True, levels=2, class_size=3),
+    "depth5": dict(depth=5),
 }
 
 
@@ -106,6 +110,9 @@ _VARIANTS = {
     ("flagship", True, (64, 64)), ("flagship", False, (32, 64)),
     ("v2", False, (32, 64)), ("v2", True, (64, 64)),
     ("unet", False, (32, 64)),
+    ("levels3_nobelly", False, (32, 64)),
+    ("v2_pool", False, (32, 64)),
+    ("depth5", False, (32, 64)),
 ])
 def test_packed_logits_match_reference_apply(variant, no_scale, hw):
     model = zoo.make("robo_unet", no_scale=no_scale, **_VARIANTS[variant])
