@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                      "(exact rewrite; framework extension)")]:
         p.add_argument(flag, help=h, action="store_true", default=False)
     p.add_argument("--root", type=str, default=os.environ.get("ROBOCUP_DATA", "./data"))
+    p.add_argument("--pipeline", type=int, default=1, metavar="DEPTH",
+                   help="keep DEPTH frames in flight (software-pipelined "
+                   "serving; overlaps dispatch/compute/readback — framework "
+                   "extension, utils/serving.py). 1 = the reference's serial "
+                   "per-frame timing (tester.py:142-144)")
     return p
 
 
@@ -124,23 +129,49 @@ def main(argv=None) -> int:
             logits, _ = model.apply(params, x, train=False)
             return jnp.argmax(logits, axis=-1)
 
+    from PIL import Image
+
     acc = SegAccum.zero(num_classes)
-    t_total = 0.0
-    for i in range(len(ds)):
-        img, lab = ds[i]
-        lab = table[lab]
-        x = jnp.asarray(img[None])
-        beg = time.perf_counter()
-        pred = infer(params, x)
-        pred.block_until_ready()
-        t_total += time.perf_counter() - beg
-        pred_np = np.asarray(pred[0])
 
-        from PIL import Image
-
-        Image.fromarray(colorize(pred_np, 5)).save(
+    def consume(i: int, pred_np, lab):
+        Image.fromarray(colorize(pred_np[0], 5)).save(
             os.path.join(out_dir, "%d.png" % i))
-        acc = acc + seg_batch_stats_host(pred, jnp.asarray(lab[None]), num_classes)
+        return seg_batch_stats_host(jnp.asarray(pred_np),
+                                    jnp.asarray(lab[None]), num_classes)
+
+    if opt.pipeline > 1:
+        # throughput mode: decode/save/metrics overlap device compute and
+        # readback; the printed ms/frame is END-TO-END wall per frame
+        from robocupvision_tpu.utils.serving import ServingPipeline
+
+        pipe = ServingPipeline(lambda x: infer(params, x), depth=opt.pipeline)
+        labs = []
+        done = 0
+        t0 = time.perf_counter()
+        for i in range(len(ds)):
+            img, lab = ds[i]
+            labs.append(table[lab])
+            got = pipe.submit(jnp.asarray(img[None]))
+            if got is not None:
+                acc = acc + consume(done, got, labs[done])
+                done += 1
+        for got in pipe.flush():
+            acc = acc + consume(done, got, labs[done])
+            done += 1
+        t_total = time.perf_counter() - t0
+        print(f"Pipelined serving (depth {opt.pipeline}): end-to-end wall "
+              f"per frame below")
+    else:
+        t_total = 0.0
+        for i in range(len(ds)):
+            img, lab = ds[i]
+            lab = table[lab]
+            x = jnp.asarray(img[None])
+            beg = time.perf_counter()
+            pred = infer(params, x)
+            pred.block_until_ready()
+            t_total += time.perf_counter() - beg
+            acc = acc + consume(i, np.asarray(pred), lab)
 
     fin = seg_finalize(acc, out_size)
     print("Validation Pixel Acc: %.2f Mean Class Acc: %.2f Mean IoU: %.2f"

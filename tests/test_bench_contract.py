@@ -20,7 +20,7 @@ def bench():
 def test_assemble_empty_reports_null_headline(bench):
     out = bench._assemble({}, ["vga", "train:skipped"])
     assert out["value"] is None and out["vs_baseline"] is None
-    assert out["extra"]["failed_stages"] == ["vga", "train:skipped"]
+    assert out["extra"]["failed_stages"] == ["train:skipped", "vga"]
     assert out["metric"] == "robo_unet_vga_640x480_inference_fps_per_chip"
 
 

@@ -96,6 +96,37 @@ def test_tester_cli_packed_matches_standard(env, monkeypatch, capsys):
                                   mask_plain)
 
 
+def test_tester_cli_pipelined_matches_serial(env, monkeypatch, capsys):
+    """tester.py --pipeline N (software-pipelined serving, utils/serving.py)
+    must print identical metrics and write identical masks to the serial
+    loop — pipelining only reorders work. Reuses test_tester_cli's pth."""
+    monkeypatch.chdir(env["work"])
+    if not osp.exists("pth/bestModelSegVGA.pth"):
+        pytest.skip("tester checkpoint not present")
+    from PIL import Image
+
+    from robocupvision_tpu.cli import tester as cli_tester
+
+    rc = cli_tester.main(["--root", env["root"], "--noScale"])
+    assert rc == 0
+    out_serial = capsys.readouterr().out
+    masks = [np.asarray(Image.open(f"output/{i}.png")) for i in range(2)]
+
+    rc = cli_tester.main(["--root", env["root"], "--noScale",
+                          "--pipeline", "3"])
+    assert rc == 0
+    out_piped = capsys.readouterr().out
+    assert "Pipelined serving (depth 3)" in out_piped
+
+    def metrics(s):
+        return [l for l in s.splitlines() if l.startswith("Validation")]
+
+    assert metrics(out_piped) == metrics(out_serial)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(f"output/{i}.png")), masks[i])
+
+
 def test_detect_cli(env, monkeypatch, capsys):
     monkeypatch.chdir(env["work"])
     from robocupvision_tpu.cli import detect as cli_detect
