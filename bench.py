@@ -13,7 +13,7 @@ Baseline: BASELINE.md north star >30 fps per chip at 640x480.
 
 Budget discipline (the round-2 bench timed out under the driver and captured
 nothing — VERDICT.md #1): the WHOLE script runs under a hard wall-clock
-deadline (BENCH_DEADLINE_SECS, default 840 s). The headline stage runs
+deadline (BENCH_DEADLINE_SECS, default 780 s). The headline stage runs
 FIRST; each stage gets a budget carved from the remaining time; stages print
 cumulative STAGE_RESULT lines after every sub-measurement so a mid-stage
 kill loses only the measurement in flight; failed/skipped stages are
@@ -114,63 +114,12 @@ def bench_vga_inference():
     out["fps_packed_bf16_b1"] = 1.0 / _time(pfn, x1, iters=200)
     _emit(out)
 
-    # 2. serving-loop rate: infer + full uint8 label readback per frame (the
-    # robot consumes the mask on host; int32 readback would be 4x the bytes)
-    pfn8 = jax.jit(pi.infer_u8)
-    np.asarray(pfn8(x1))  # warm + first-fetch stall
-    t0 = time.perf_counter()
-    np.asarray(pfn8(x1))
-    serve_iters = max(3, min(50, int(4.0 / max(time.perf_counter() - t0, 1e-4))))
-
-    def serve_once():
-        t0 = time.perf_counter()
-        for _ in range(serve_iters):
-            np.asarray(pfn8(x1))
-        return serve_iters / (time.perf_counter() - t0)
-
-    out["fps_serving_incl_u8_label_readback"] = \
-        sorted(serve_once() for _ in range(3))[1]
-    _emit(out)
-
-    # serving via the packed-label output (no device-side depth-to-space;
-    # host numpy unpack included in the timed loop — same wire bytes)
-    device_fn, host_unpack = pi.infer_u8_packed()
-    pfn8p = jax.jit(device_fn)
-    host_unpack(pfn8p(x1))  # warm
-
-    def serve_packed_once():
-        t0 = time.perf_counter()
-        for _ in range(serve_iters):
-            host_unpack(pfn8p(x1))
-        return serve_iters / (time.perf_counter() - t0)
-
-    out["fps_serving_packed_label_output"] = \
-        sorted(serve_packed_once() for _ in range(3))[1]
-    _emit(out)
-
-    # pipelined serving (utils/serving.py): depth-4 in-flight window overlaps
-    # dispatch + compute + label readback across frames — the serial loop
-    # above pays RTT + wire per frame in sequence (the honest remote-
-    # transport serving ceiling is the readback wire, not the device)
-    from robocupvision_tpu.utils.serving import ServingPipeline
-
-    def serve_pipelined_once():
-        pipe = ServingPipeline(pfn8, depth=4)
-        t0 = time.perf_counter()
-        n = sum(1 for _ in pipe.map([x1] * serve_iters))
-        return n / (time.perf_counter() - t0)
-
-    serve_pipelined_once()  # warm the pipeline pattern
-    out["fps_serving_pipelined_d4_u8_readback"] = \
-        sorted(serve_pipelined_once() for _ in range(3))[1]
-    _emit(out)
-
-    # 3. packed batched throughput
+    # 2. packed batched throughput
     if _left() > 60:
         out["fps_packed_bf16_b4_throughput"] = 4.0 / _time(pfn, x4, iters=100)
         _emit(out)
 
-    # 4. standard (unpacked) graph for comparison
+    # 3. standard (unpacked) graph for comparison
     def make_infer(dtype):
         @jax.jit
         def infer(params, x):
@@ -208,6 +157,63 @@ def bench_vga_inference():
                                 jnp.float32)
         out["fps_label_prop_packed_qvga_b1"] = \
             1.0 / _time(jax.jit(lp.infer), xlp, iters=200)
+        _emit(out)
+
+    # LAST: serving-loop rates. These do bulk device->host label fetches,
+    # which permanently degrade this process's subsequent per-dispatch
+    # latency to ~RTT (PERF.md #6 / CLAUDE.md) — so every pure-dispatch
+    # _time() measurement above must run before the first np.asarray here.
+    # fps_serving_*: infer + full uint8 label readback per frame (the robot
+    # consumes the mask on host; int32 readback would be 4x the bytes).
+    pfn8 = jax.jit(pi.infer_u8)
+    np.asarray(pfn8(x1))  # warm + first-fetch stall
+    t0 = time.perf_counter()
+    np.asarray(pfn8(x1))
+    serve_iters = max(3, min(50, int(4.0 / max(time.perf_counter() - t0, 1e-4))))
+
+    def serve_once():
+        t0 = time.perf_counter()
+        for _ in range(serve_iters):
+            np.asarray(pfn8(x1))
+        return serve_iters / (time.perf_counter() - t0)
+
+    out["fps_serving_incl_u8_label_readback"] = \
+        sorted(serve_once() for _ in range(3))[1]
+    _emit(out)
+
+    # serving via the packed-label output (no device-side depth-to-space;
+    # host numpy unpack included in the timed loop — same wire bytes)
+    if _left() > 30:
+        device_fn, host_unpack = pi.infer_u8_packed()
+        pfn8p = jax.jit(device_fn)
+        host_unpack(pfn8p(x1))  # warm
+
+        def serve_packed_once():
+            t0 = time.perf_counter()
+            for _ in range(serve_iters):
+                host_unpack(pfn8p(x1))
+            return serve_iters / (time.perf_counter() - t0)
+
+        out["fps_serving_packed_label_output"] = \
+            sorted(serve_packed_once() for _ in range(3))[1]
+        _emit(out)
+
+    # pipelined serving (utils/serving.py): depth-4 in-flight window overlaps
+    # dispatch + compute + label readback across frames — the serial loop
+    # above pays RTT + wire per frame in sequence (the honest remote-
+    # transport serving ceiling is the readback wire, not the device)
+    if _left() > 30:
+        from robocupvision_tpu.utils.serving import ServingPipeline
+
+        def serve_pipelined_once():
+            pipe = ServingPipeline(pfn8, depth=4)
+            t0 = time.perf_counter()
+            n = sum(1 for _ in pipe.map([x1] * serve_iters))
+            return n / (time.perf_counter() - t0)
+
+        serve_pipelined_once()  # warm the pipeline pattern
+        out["fps_serving_pipelined_d4_u8_readback"] = \
+            sorted(serve_pipelined_once() for _ in range(3))[1]
         _emit(out)
     return out
 
@@ -487,12 +493,14 @@ _BOOT_TIMEOUT = float(os.environ.get("BENCH_BOOT_TIMEOUT_SECS", "90"))
 
 
 def _stage_subprocess(stage: str, budget: float,
-                      boot_timeout: float | None = None) -> dict:
+                      boot_timeout: float | None = None) -> tuple:
     """Run one stage in a fresh interpreter under ``budget`` seconds; parse
     the LAST cumulative STAGE_RESULT line. A child that fails to print
     STAGE_BOOT within ``boot_timeout`` is killed early (init stall — see
-    _run_stage). Returns {} on total failure — callers record the stage in
-    failed_stages; no fake numbers are synthesized."""
+    _run_stage). Returns ``(result, kill_reason)``; result is {} on total
+    failure — callers record the stage in failed_stages; no fake numbers
+    are synthesized. kill_reason is None, "init", or "budget" and drives
+    the retry policy (budget kills of non-headline stages don't respawn)."""
     import subprocess
     import threading
 
@@ -517,13 +525,16 @@ def _stage_subprocess(stage: str, budget: float,
     t.start()
     start = time.monotonic()
     killed = None
+    kill_kind = None
     while proc.poll() is None:
         el = time.monotonic() - start
         if not booted.is_set() and el > boot_timeout:
             killed = f"init stall (> {boot_timeout:.0f}s to boot)"
+            kill_kind = "init"
             break
         if el > budget:
             killed = f"budget ({budget:.0f}s)"
+            kill_kind = "budget"
             break
         time.sleep(0.5)
     if killed:
@@ -537,7 +548,7 @@ def _stage_subprocess(stage: str, budget: float,
             result = json.loads(line[len("STAGE_RESULT:"):])
     if not result and not killed:
         sys.stderr.write(f"bench stage {stage} produced no result\n")
-    return result
+    return result, kill_kind
 
 
 def _assemble(extra_raw: dict, failed: list) -> dict:
@@ -610,7 +621,7 @@ def main():
         print(json.dumps(_assemble(extra, failed)), flush=True)
 
     def run(stage: str, cap: float, reserve: float,
-            boot_timeout: float | None = None) -> dict:
+            boot_timeout: float | None = None) -> tuple:
         """Give ``stage`` min(cap, remaining - reserve) seconds; skip it
         outright (marker, not a hang) if that's under 45 s."""
         budget = min(cap, _left() - reserve)
@@ -618,30 +629,43 @@ def main():
             sys.stderr.write(f"bench stage {stage}: skipped "
                              f"({_left():.0f}s left)\n")
             failed.append(stage + ":skipped")
-            return {}
+            return {}, None
         sys.stderr.write(f"bench stage {stage}: budget {budget:.0f}s "
                          f"({_left():.0f}s left)\n")
-        out = _stage_subprocess(stage, budget, boot_timeout)
+        out, kill_kind = _stage_subprocess(stage, budget, boot_timeout)
         if not out:
             failed.append(stage)
-        return out
+        return out, kill_kind
 
     def run_with_retry(stage: str, cap: float, reserve: float,
-                       attempts: int = 3) -> dict:
+                       attempts: int = 3,
+                       boot_schedule: tuple = ()) -> dict:
         """Respawn a failed stage while time allows: an init-stalled child
         is killed by the boot watchdog (nothing computed by then), and the
         shared compilation cache makes post-compile respawns cheap. The
         boot timeout ESCALATES per attempt (x1, x2, x3): a kill+respawn
         during a persistent tunnel stall phase would otherwise loop — the
         r3 dry run saw one stage stall 3/3 at a fixed 90 s — while the
-        first attempt stays cheap in the common transient case."""
+        first attempt stays cheap in the common transient case.
+
+        BUDGET kills (the child booted, ran, and still overran) only
+        respawn for the headline stage: a non-headline stage slow enough
+        to blow its full budget will likely do so again, and its respawns
+        starve the stages after it (seen in the r3 contended run: scan's
+        two budget kills consumed 300 s and streamed/torch were skipped)."""
         out = {}
         for i in range(attempts):
-            got = run(stage, cap, reserve, boot_timeout=_BOOT_TIMEOUT * (i + 1))
+            bt = (boot_schedule[min(i, len(boot_schedule) - 1)]
+                  if boot_schedule else _BOOT_TIMEOUT * (i + 1))
+            got, kill_kind = run(stage, cap, reserve, boot_timeout=bt)
             out = {**got, **out}
             complete = bool(out) and not (stage == "vga"
                                           and "fps_packed_bf16_b1" not in out)
             if complete or _left() - reserve < 60:
+                break
+            if kill_kind == "budget" and stage != "vga":
+                sys.stderr.write(f"bench stage {stage}: budget kill — "
+                                 f"not retrying (non-headline)\n")
                 break
             if i + 1 < attempts:
                 sys.stderr.write(f"bench stage {stage}: retrying\n")
@@ -651,8 +675,13 @@ def main():
                     failed.remove(marker)
         return out
 
-    # headline first
-    extra.update(run_with_retry("vga", cap=420, reserve=120))
+    # headline first. Init-stall physics (CLAUDE.md): each fresh child
+    # re-rolls the stall dice, so for the one stage that MUST produce a
+    # number we buy more, cheaper rolls — 5 attempts at 90/120/150/210/270 s
+    # boot timeouts instead of 3 at 90/180/270 (a fresh-chip run booted 3/3
+    # over 90 s once under host contention and the headline came out null).
+    extra.update(run_with_retry("vga", cap=420, reserve=120, attempts=5,
+                                boot_schedule=(90, 120, 150, 210, 270)))
     emit()
     for stage, cap, reserve in [("train", 300, 75), ("scan", 150, 50),
                                 ("streamed", 180, 30), ("torch", 90, 10)]:

@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                     ("--topCam", "Use Top Camera images only"),
                     ("--bottomCam", "Use Bottom Camera images only"),
                     ("--dump", "Dump model parameters"),
+                    ("--aot", "with --dump: also write the AOT-compiled "
+                     "serving graph (serving.stablehlo, jax.export — "
+                     "framework extension, export/aot.py)"),
                     ("--useCuda", "(accepted for compatibility; TPU is used)"),
                     ("--packed", "lane-packed inference graph "
                      "(exact rewrite; framework extension)")]:
@@ -109,6 +112,15 @@ def main(argv=None) -> int:
         else:
             deploy.export_deployment(dump_dir, model, params_np, fname=fname)
         print(f"Dumped weights to {dump_dir}/{fname}")
+        if opt.aot:
+            from robocupvision_tpu.export import aot
+
+            # bake the actual frame shape (the compiled artifact is
+            # shape-specialized, like the benchmarked serving graph)
+            hw = tuple(ds[0][0].shape[:2])
+            out = aot.export_serving(dump_dir, model, params_np,
+                                     hw=hw, dtype=jnp.float32)
+            print(f"Dumped AOT serving graph to {out}")
 
     table = mask_label_table(opt.noBall, opt.noRobot, opt.noGoal, opt.noLine)
 

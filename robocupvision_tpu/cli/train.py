@@ -141,6 +141,7 @@ def main(argv=None) -> int:
     mask_flags = (opt.noBall, opt.noRobot, opt.noGoal, opt.noLine)
 
     best_loss_final = 0.0
+    done_markers: list = []
     for transfer in transfers:
         if len(transfers) > 1:
             print("#" * 54)
@@ -219,6 +220,17 @@ def main(argv=None) -> int:
             resume_path = None
             if opt.resume:
                 resume_path = f"{path}.resume-T{transfer}-{decay:g}.npz"
+                # a restarted sweep must not re-train combos that already
+                # finished (their resume snapshot is deleted on completion,
+                # so without this marker they'd rerun from scratch AND
+                # overwrite the best checkpoint with a fresh run's weights)
+                if os.path.exists(resume_path + ".done"):
+                    with open(resume_path + ".done") as f:
+                        best_loss_final = float(f.read().strip() or 0.0)
+                    done_markers.append(resume_path + ".done")
+                    print(f"Skipping completed combo transfer={transfer} "
+                          f"decay={decay:g} (resume marker)")
+                    continue
             best_loss, best_params, ms = tr.train_run(
                 epochs, lrs, chunk_epochs=opt.chunkEpochs or None,
                 on_chunk=on_chunk, resume_path=resume_path)
@@ -273,6 +285,16 @@ def main(argv=None) -> int:
                                                   prune_pct=prune_pct,
                                                   mflops=mflops)
                     checkpoint.save(path, model.registry, best_params)
+
+            # combo fully done (incl. pruning phase) — mark it so a
+            # restarted sweep skips it instead of re-training
+            if resume_path is not None:
+                with open(resume_path + ".done", "w") as f:
+                    f.write(repr(float(best_loss_final)))
+                done_markers.append(resume_path + ".done")
+    for m in done_markers:  # whole sweep finished; a fresh rerun retrains
+        if os.path.exists(m):
+            os.remove(m)
     return 0
 
 

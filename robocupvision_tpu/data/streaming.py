@@ -55,9 +55,10 @@ class StreamingBatches:
         self.process_count = process_count
 
     def __len__(self) -> int:
-        n_local = len(range(self.process_index, len(self.dataset),
-                            self.process_count))
-        return -(-n_local // self.batch_size)
+        # every host reports the COMMON batch count (the largest local
+        # shard's), padded hosts included — see _host_batches.
+        n_max_local = -(-len(self.dataset) // self.process_count)
+        return -(-n_max_local // self.batch_size)
 
     def _host_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         n = len(self.dataset)
@@ -67,8 +68,21 @@ class StreamingBatches:
             order = order[self.process_index::self.process_count]
         n = len(order)
         bs = self.batch_size
-        for start in range(0, n, bs):
-            idx = order[start:start + bs]
+        # All hosts MUST yield the same number of batches: each train step
+        # carries gradient collectives, so a host with one fewer batch (local
+        # shards differ by up to 1 item when n % process_count != 0) would
+        # leave the others blocked in psum at the epoch tail. Short hosts pad
+        # with zero-mask batches up to the common (largest-shard) count.
+        n_batches = len(self)
+        for bi in range(n_batches):
+            idx = order[bi * bs:(bi + 1) * bs]
+            if len(idx) == 0:
+                # shape donor for an all-padding batch
+                img0, lab0 = self.dataset[int(order[0]) if n else 0]
+                imgs = np.zeros((bs,) + img0.shape, img0.dtype)
+                labs = np.zeros((bs,) + lab0.shape, lab0.dtype)
+                yield imgs, labs, np.zeros(bs, np.float32)
+                continue
             imgs, labs = zip(*(self.dataset[int(i)] for i in idx))
             imgs = np.stack(imgs)
             labs = np.stack(labs)

@@ -20,6 +20,7 @@ import numpy as np
 from robocupvision_tpu.data.device_cache import DeviceCache, epoch_batches
 from robocupvision_tpu.models.zoo import Model
 from robocupvision_tpu.ops.metrics import seg_finalize
+from robocupvision_tpu.train import checkpoint as ckpt
 from robocupvision_tpu.train import step as tstep
 
 
@@ -275,6 +276,7 @@ class Trainer:
         if prune_masks is not None:
             masks_dev = {k: jnp.asarray(v, jnp.float32)
                          for k, v in prune_masks.items()}
+        assert chunk_epochs is None or chunk_epochs > 0, chunk_epochs
         if chunk_epochs is None or chunk_epochs >= epochs:
             chunks = [epochs]
         else:
@@ -304,7 +306,6 @@ class Trainer:
             import os
 
             from robocupvision_tpu.models.layers import split_params
-            from robocupvision_tpu.train import checkpoint as ckpt
 
             if os.path.exists(resume_path):
                 (pr, opt_leaves, bs0, bp0, rng_arr, start_chunk,
@@ -323,7 +324,6 @@ class Trainer:
                 carry = (jnp.float32(bs0),
                          {k: jnp.asarray(v) for k, v in bp0.items()})
                 any_better_before = bool(meta.get("any_better", False))
-                best_score, best_params = carry
         ms_parts = []
         off = sum(chunks[:start_chunk])
         for ci in range(start_chunk, len(chunks)):
@@ -337,8 +337,6 @@ class Trainer:
             ms_parts.append(ms)
             any_better_before = any_better_before or bool(np.any(ms["better"]))
             if resume_path is not None:
-                from robocupvision_tpu.train import checkpoint as ckpt
-
                 ckpt.save_resume(
                     resume_path, self.params_numpy(),
                     [np.asarray(v) for v in

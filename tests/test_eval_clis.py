@@ -59,13 +59,32 @@ def test_tester_cli(env, monkeypatch, capsys):
 
     from robocupvision_tpu.cli import tester as cli_tester
 
-    rc = cli_tester.main(["--root", env["root"], "--dump", "--noScale"])
+    rc = cli_tester.main(["--root", env["root"], "--dump", "--aot",
+                          "--noScale"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "Mean IoU" in out
     assert osp.exists("weights/VGA/weights2.dat")
     assert osp.exists("weights/VGA/net.cfg")
     assert osp.exists("output/0.png")
+
+    # the AOT artifact (export/aot.py) reloads standalone and labels a
+    # frame identically to the live packed graph
+    from robocupvision_tpu.export import aot
+    from robocupvision_tpu.models import packed as pk
+
+    assert osp.exists("weights/VGA/serving.stablehlo")
+    fn = aot.load_serving("weights/VGA")
+    from robocupvision_tpu.data.datasets import SSDataSet
+
+    ds = SSDataSet(env["root"], split="val", scale=1)
+    x = np.asarray(ds[0][0])[None]
+    params = checkpoint.load_any("pth/bestModelSegVGA.pth", m.registry)
+    import jax.numpy as jnp
+
+    live = pk.build_packed_pb_fcn(m, params, jnp.float32).infer_u8
+    np.testing.assert_array_equal(np.asarray(fn(x)),
+                                  np.asarray(jax.jit(live)(x)))
 
 
 def test_tester_cli_packed_matches_standard(env, monkeypatch, capsys):

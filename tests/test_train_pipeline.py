@@ -251,6 +251,39 @@ def test_train_cli_rejects_all_background(capsys):
     assert "non-background" in capsys.readouterr().out
 
 
+def test_train_cli_resume_skips_completed_combo(data_root, tmp_path,
+                                                monkeypatch, capsys):
+    """A restarted --resume sweep must NOT re-train combos that already
+    finished (their fresh rerun would overwrite the best checkpoint with
+    differently-shuffled weights). Completion is recorded in a .done marker
+    next to the resume snapshot; markers are cleaned when the whole sweep
+    completes."""
+    monkeypatch.chdir(tmp_path)
+    from robocupvision_tpu.cli import train as cli_train
+
+    args = ["--root", data_root, "--epochs", "2", "--batchSize", "8",
+            "--resume"] + LAB
+    rc = cli_train.main(args)
+    assert rc == 0
+    capsys.readouterr()
+    ckpt = tmp_path / "checkpoints" / "best.weights"
+    assert ckpt.exists()
+    # completed sweep cleans its markers: a fresh rerun retrains
+    marker = str(ckpt) + ".resume-T0-1e-06.npz.done"
+    assert not osp.exists(marker)
+
+    # simulate a restart after this combo completed but the sweep didn't:
+    with open(marker, "w") as f:
+        f.write("0.5")
+    before = ckpt.read_bytes()
+    rc = cli_train.main(args)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Skipping completed combo" in out
+    assert "Saving best model" not in out
+    assert ckpt.read_bytes() == before  # not overwritten by a rerun
+
+
 def test_streaming_batches(data_root):
     import numpy as np
 
@@ -311,6 +344,36 @@ def test_streaming_process_sharded_partition():
         seen.append(set(ids))
     assert seen[0] | seen[1] | seen[2] == set(range(n))
     assert not (seen[0] & seen[1] or seen[0] & seen[2] or seen[1] & seen[2])
+
+
+def test_streaming_process_sharded_equal_batch_counts():
+    """Hosts whose local shards straddle a batch boundary (n=9, P=2, bs=4:
+    shards of 5 and 4 items) must still dispatch the SAME number of batches
+    — each train step carries gradient collectives, so a short host would
+    deadlock the others at the epoch tail. Short hosts pad with zero-mask
+    batches."""
+    from robocupvision_tpu.data.streaming import StreamingBatches
+
+    n = 9
+
+    class IdDataset:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            return (np.full((2, 2, 3), i, np.float32), np.int32(i))
+
+    counts, reals = [], []
+    for pi in range(2):
+        stream = StreamingBatches(IdDataset(), 4,
+                                  np.random.default_rng(7),
+                                  process_index=pi, process_count=2)
+        batches = list(stream)
+        assert len(batches) == len(stream)
+        counts.append(len(batches))
+        reals.append(sum(int(np.asarray(m).sum()) for _, _, m in batches))
+    assert counts[0] == counts[1] == 2
+    assert reals[0] + reals[1] == n
 
 
 def test_train_epoch_streamed_matches_cached(data_root):
