@@ -133,11 +133,11 @@ def bench_vga_inference():
 
     if _left() > 60:
         out["fps_bf16_b1_standard_graph"] = \
-            1.0 / _time(make_infer(jnp.bfloat16), params, x1, iters=50)
+            1.0 / _time(make_infer(jnp.bfloat16), params, x1, iters=150)
         _emit(out)
     if _left() > 60:
         out["fps_f32_b1"] = 1.0 / _time(make_infer(jnp.float32), params, x1,
-                                        iters=50)
+                                        iters=150)
         _emit(out)
 
     # QVGA flagship (tester.py's DEFAULT working resolution, scale=4)
