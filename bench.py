@@ -627,12 +627,21 @@ def main():
     def emit():
         print(json.dumps(_assemble(extra, failed)), flush=True)
 
+    # smallest budget a stage can realistically finish its FIRST
+    # sub-measurement in (boot + first compile + one timed window over the
+    # tunnel) — starting an attempt below this just burns deadline that a
+    # later stage could use (the r3 stall-phase run budget-killed a doomed
+    # 97 s train attempt while scan then had to be skipped)
+    _MIN_BUDGET = {"vga": 120, "train": 150, "scan": 110,
+                   "streamed": 90, "torch": 45}
+
     def run(stage: str, cap: float, reserve: float,
             boot_timeout: float | None = None) -> tuple:
         """Give ``stage`` min(cap, remaining - reserve) seconds; skip it
-        outright (marker, not a hang) if that's under 45 s."""
+        outright (marker, not a hang) if that's under the stage's minimum
+        viable budget."""
         budget = min(cap, _left() - reserve)
-        if budget < 45:
+        if budget < _MIN_BUDGET.get(stage, 45):
             sys.stderr.write(f"bench stage {stage}: skipped "
                              f"({_left():.0f}s left)\n")
             failed.append(stage + ":skipped")
@@ -690,10 +699,22 @@ def main():
     extra.update(run_with_retry("vga", cap=420, reserve=120, attempts=5,
                                 boot_schedule=(90, 120, 150, 210, 270)))
     emit()
-    for stage, cap, reserve in [("train", 300, 75), ("scan", 150, 50),
-                                ("streamed", 180, 30), ("torch", 90, 10)]:
+    stage_caps = [("train", 300, 75), ("scan", 150, 50),
+                  ("streamed", 180, 30), ("torch", 90, 10)]
+    for stage, cap, reserve in stage_caps:
         extra.update(run_with_retry(stage, cap, reserve))
         emit()
+
+    # backfill: convert leftover deadline into recovered stages. A stage
+    # that lost all its boot rolls to init stalls (the r3 runs saw 2-3 in a
+    # row during tunnel stall phases) gets fresh rolls from whatever time
+    # the other stages didn't use, in priority order.
+    for stage, cap, _reserve in stage_caps:
+        if stage in failed and _left() > 120:
+            sys.stderr.write(f"bench stage {stage}: backfill attempt "
+                             f"({_left():.0f}s left)\n")
+            extra.update(run_with_retry(stage, cap, reserve=60, attempts=2))
+            emit()
 
 
 if __name__ == "__main__":
