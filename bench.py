@@ -185,6 +185,39 @@ def bench_vga_inference():
         sorted(serve_once() for _ in range(3))[1]
     _emit(out)
 
+    # end-to-end raw-frame serving: the robot ships its camera's uint8 RGB
+    # (1/4 the f32 wire bytes; preprocessing runs on device as one fused
+    # affine — models/packed.py infer_u8_io) and the loop pays H2D + infer
+    # + uint8 label readback per frame. The f32-wire comparator ships the
+    # host-preprocessed frame instead — same loop, 4x the input bytes.
+    if _left() > 30:
+        pio = jax.jit(pi.infer_u8_io)
+        frame_u8 = (np.arange(480 * 640 * 3) % 251).astype(np.uint8) \
+            .reshape(1, 480, 640, 3)
+        np.asarray(pio(frame_u8))  # warm (numpy arg pays H2D per call)
+
+        def serve_u8_wire_once():
+            t0 = time.perf_counter()
+            for _ in range(serve_iters):
+                np.asarray(pio(frame_u8))
+            return serve_iters / (time.perf_counter() - t0)
+
+        out["fps_serving_e2e_u8_wire"] = \
+            sorted(serve_u8_wire_once() for _ in range(3))[1]
+        _emit(out)
+
+        frame_f32 = np.asarray(x1)  # host-resident preprocessed frame
+
+        def serve_f32_wire_once():
+            t0 = time.perf_counter()
+            for _ in range(serve_iters):
+                np.asarray(pfn8(frame_f32))
+            return serve_iters / (time.perf_counter() - t0)
+
+        out["fps_serving_e2e_f32_wire"] = \
+            sorted(serve_f32_wire_once() for _ in range(3))[1]
+        _emit(out)
+
     # serving via the packed-label output (no device-side depth-to-space;
     # host numpy unpack included in the timed loop — same wire bytes)
     if _left() > 30:

@@ -48,7 +48,7 @@ def load_fn(blob: bytes) -> Callable:
 
 
 def export_serving(path: str, model, params, hw=(480, 640),
-                   dtype=None, packed: bool = True,
+                   dtype=None, packed: bool = True, raw_u8: bool = False,
                    platforms: Optional[Sequence[str]] = None,
                    fname: str = AOT_FNAME) -> str:
     """Write the uint8-label serving graph for ``model`` as an AOT artifact
@@ -56,7 +56,9 @@ def export_serving(path: str, model, params, hw=(480, 640),
 
     The exported callable maps float32 NHWC (1, H, W, 3) -> uint8 (1, H, W)
     label map — the exact graph bench.py's fps_serving_incl_u8_label_readback
-    measures (lane-packed when ``packed``)."""
+    measures (lane-packed when ``packed``). With ``raw_u8`` (packed only),
+    the input is the camera's raw uint8 RGB and the /255+ToYUV+Normalize
+    preprocessing is baked into the graph (models/packed.py infer_u8_io)."""
     import jax.numpy as jnp
 
     if dtype is None:
@@ -67,7 +69,10 @@ def export_serving(path: str, model, params, hw=(480, 640),
         builder = {"pb_fcn": pk.build_packed_pb_fcn,
                    "label_prop": pk.build_packed_label_prop}.get(
                        model.family, pk.build_packed_infer)
-        fn = builder(model, params, dtype=dtype).infer_u8
+        pi = builder(model, params, dtype=dtype)
+        fn = pi.infer_u8_io if raw_u8 else pi.infer_u8
+    elif raw_u8:
+        raise ValueError("raw_u8 export requires the packed serving graph")
     else:
         pdev = {k: jnp.asarray(v) for k, v in params.items()}
 
@@ -77,7 +82,7 @@ def export_serving(path: str, model, params, hw=(480, 640),
 
     h, w = hw
     cin = 8 if model.family == "label_prop" else 3  # LP: img+flow+prior label
-    x = np.zeros((1, h, w, cin), np.float32)
+    x = np.zeros((1, h, w, cin), np.uint8 if raw_u8 else np.float32)
     blob = export_fn(fn, (x,), platforms=platforms)
     os.makedirs(path, exist_ok=True)
     out = os.path.join(path, fname)
@@ -87,7 +92,9 @@ def export_serving(path: str, model, params, hw=(480, 640),
 
 
 def load_serving(path: str, fname: str = AOT_FNAME) -> Callable:
-    """Load an AOT serving artifact written by export_serving."""
-    with open(os.path.join(path, fname)
-              if not path.endswith(fname) else path, "rb") as f:
+    """Load an AOT serving artifact written by export_serving. ``path`` may
+    be the artifact file itself or the deployment directory holding it."""
+    if os.path.isdir(path):
+        path = os.path.join(path, fname)
+    with open(path, "rb") as f:
         return load_fn(f.read())

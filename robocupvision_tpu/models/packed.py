@@ -52,6 +52,7 @@ from robocupvision_tpu.models import layers as L
 from robocupvision_tpu.models.zoo import (LabelPropCfg, Model, PBFCN2Cfg,
                                           PBFCNCfg, RoboUNetCfg)
 from robocupvision_tpu.ops import nn
+from robocupvision_tpu.ops.color import raw_camera_preprocess
 
 Params = Dict[str, jax.Array]
 
@@ -335,6 +336,14 @@ class _PackedBase:
         (a VGA int32 map is 1.2 MB/frame; the robot consumes uint8 anyway,
         cf. the engine's uint8 label maps)."""
         return self.infer(x).astype(jnp.uint8)
+
+    def infer_u8_io(self, x_u8: jax.Array) -> jax.Array:
+        """Raw camera bytes in, label bytes out: (N, H, W, 3) uint8 RGB ->
+        (N, H, W) uint8 labels. The legacy host preprocessing (/255, ToYUV,
+        Normalize — reference transform.py:21-24) runs on device as one
+        fused affine (ops/color.raw_camera_preprocess), so a serving host
+        ships 1/4 the input wire bytes AND skips per-frame host math."""
+        return self.infer_u8(raw_camera_preprocess(x_u8))
 
     def infer_u8_packed(self) -> Tuple:
         """Serving-optimal pair (device_fn, host_unpack): the device returns

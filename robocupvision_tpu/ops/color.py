@@ -14,14 +14,19 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# skimage.color.yuv_from_rgb
-YUV_FROM_RGB = jnp.array(
+# skimage.color.yuv_from_rgb. Plain numpy ON PURPOSE: module-level jnp
+# constants become tracers (and escape into globals) if this module is
+# first imported inside an active trace — e.g. a lazy import in a function
+# being jax.export'ed. numpy constants are safe everywhere jnp ops accept
+# them.
+YUV_FROM_RGB = np.array(
     [[0.299, 0.587, 0.114],
      [-0.14714119, -0.28886916, 0.43601035],
-     [0.61497538, -0.51496512, -0.10001026]], jnp.float32)
+     [0.61497538, -0.51496512, -0.10001026]], np.float32)
 
-RGB_FROM_YUV = jnp.linalg.inv(YUV_FROM_RGB)
+RGB_FROM_YUV = np.linalg.inv(YUV_FROM_RGB)
 
 # Per-domain normalization constants (reference dataset.py:74-75)
 MEAN_SYNTHETIC = (0.36269532, 0.41144562, 0.282713)
@@ -42,6 +47,20 @@ def normalize(img: jax.Array, mean, std) -> jax.Array:
     mean = jnp.asarray(mean, img.dtype)
     std = jnp.asarray(std, img.dtype)
     return (img - mean) / std
+
+
+def raw_camera_preprocess(x_u8: jax.Array, mean=(0.5, 0.0, 0.0),
+                          std: float = 0.5) -> jax.Array:
+    """Raw uint8 RGB frames -> the legacy serving input (/255, ToYUV,
+    normalize — reference transform.py:21-24 + tester.py's Normalize), as
+    ONE on-device affine: every step is linear, so the chain folds to
+    ``x @ (YUV^T / (255*std)) - mean/std``. Lets a serving host ship the
+    camera's native uint8 bytes (1/4 the f32 wire) and XLA fuses the
+    affine into the stem conv's input read."""
+    a = YUV_FROM_RGB.T / (255.0 * std)
+    c = -jnp.asarray(mean, jnp.float32) / std
+    return jnp.einsum("...c,cd->...d", x_u8.astype(jnp.float32),
+                      a.astype(jnp.float32)) + c
 
 
 def yuv_color_jitter(rng: jax.Array, img: jax.Array,

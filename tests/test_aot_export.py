@@ -66,3 +66,21 @@ def test_aot_artifact_is_self_contained(tmp_path, small_unet):
     y = exp.call(np.zeros((1, 16, 16, 3), np.float32))
     assert np.asarray(y).shape == (1, 16, 16)
     assert np.asarray(y).dtype == np.uint8
+
+
+def test_aot_raw_u8_roundtrip(tmp_path, small_unet):
+    """raw_u8 export: the artifact takes raw uint8 RGB frames (preprocessing
+    baked in) and matches the live infer_u8_io graph exactly."""
+    model, params = small_unet
+    out = aot.export_serving(str(tmp_path), model, params, hw=(32, 32),
+                             dtype=jnp.float32, raw_u8=True,
+                             fname="serving_raw.stablehlo")
+    fn = aot.load_serving(out)
+    frame = np.random.default_rng(3).integers(
+        0, 256, (1, 32, 32, 3), dtype=np.uint8)
+
+    from robocupvision_tpu.models import packed as pk
+
+    live = pk.build_packed_infer(model, params, dtype=jnp.float32).infer_u8_io
+    np.testing.assert_array_equal(np.asarray(fn(frame)),
+                                  np.asarray(jax.jit(live)(frame)))

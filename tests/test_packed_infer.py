@@ -319,3 +319,31 @@ def test_packed_infer_u8_matches_int32():
     lab8 = np.asarray(pi.infer_u8(x))
     assert lab8.dtype == np.uint8
     np.testing.assert_array_equal(lab32.astype(np.uint8), lab8)
+
+
+def test_infer_u8_io_matches_host_preprocessing():
+    """Raw-camera serving (infer_u8_io): shipping uint8 RGB and running the
+    /255 + ToYUV + Normalize chain on device (one fused affine,
+    ops/color.raw_camera_preprocess) yields the same labels as the host
+    preprocessing the datasets do (reference transform.py:21-24)."""
+    from robocupvision_tpu.data.datasets import to_yuv_legacy
+    from robocupvision_tpu.ops.color import raw_camera_preprocess
+
+    model = zoo.make("robo_unet")
+    params = _randomized_params(model, 31)
+    pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+
+    # host path: exactly what SSDataSet.__getitem__ does
+    host = to_yuv_legacy(frame.astype(np.float32) / 255.0)
+    host = (host - np.array([0.5, 0.0, 0.0], np.float32)) / np.float32(0.5)
+
+    pre = np.asarray(raw_camera_preprocess(jnp.asarray(frame)))
+    np.testing.assert_allclose(pre, host, atol=2e-5, rtol=1e-5)
+
+    want = np.asarray(jax.jit(pi.infer_u8)(jnp.asarray(host)))
+    got = np.asarray(jax.jit(pi.infer_u8_io)(jnp.asarray(frame)))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
