@@ -24,7 +24,12 @@ def env(tmp_path_factory):
     try:
         from robocupvision_tpu.cli import train as cli_train
 
-        rc = cli_train.main(["--root", root, "--epochs", "2", "--batchSize", "8"])
+        # --labSize keeps training at the synthetic frames' native 48x64
+        # (the default would upscale to QVGA: ~6x the compute for the same
+        # fully-convolutional checkpoint — this fixture cost 190+ s of the
+        # quick tier before)
+        rc = cli_train.main(["--root", root, "--epochs", "2",
+                             "--batchSize", "8", "--labSize", "48", "64"])
         assert rc == 0
     finally:
         os.chdir(cwd)
