@@ -57,14 +57,24 @@ def _time(fn, *args, iters=100):
     y = fn(*args)
     np.asarray(jnp.ravel(y)[0])  # warm + first-fetch stall out of the way
 
-    # 3-call probe: scale the iteration count DOWN if a window would exceed
-    # ~4 s (a CPU dry run is ~100x slower per call than the chip; the driver
-    # budget must hold there too). On TPU the probe leaves iters unchanged.
+    # Probe to scale the iteration count DOWN if a window would exceed
+    # ~4 s (a CPU dry run is ~100x slower per call than the chip; the
+    # driver budget must hold there too). The probe window includes ONE
+    # sync fetch (~29 ms RTT over the tunnel), which would dominate a
+    # 3-call probe of a sub-ms graph and silently clamp the wide windows
+    # back to ~0.1-0.25 s — so when the 3-call estimate looks
+    # RTT-dominated, re-probe with 30 calls to amortize the fetch.
     t0 = time.perf_counter()
     for _ in range(3):
         y = fn(*args)
     np.asarray(jnp.ravel(y)[0])
     per_call = (time.perf_counter() - t0) / 3
+    if per_call < 0.05:  # fast graph: the estimate is mostly fetch RTT
+        t0 = time.perf_counter()
+        for _ in range(30):
+            y = fn(*args)
+        np.asarray(jnp.ravel(y)[0])
+        per_call = (time.perf_counter() - t0) / 30
     if per_call * iters > 4.0:
         iters = max(3, int(4.0 / per_call))
 
@@ -665,7 +675,10 @@ def main():
     # tunnel) — starting an attempt below this just burns deadline that a
     # later stage could use (the r3 stall-phase run budget-killed a doomed
     # 97 s train attempt while scan then had to be skipped)
-    _MIN_BUDGET = {"vga": 120, "train": 150, "scan": 110,
+    # vga's minimum is the smallest useful slice (instant boot + the
+    # headline sub-measurement alone, ~15-25 s warm-cache): the one number
+    # that must exist is worth a last-ditch attempt at any viable budget
+    _MIN_BUDGET = {"vga": 60, "train": 150, "scan": 110,
                    "streamed": 90, "torch": 45}
 
     def run(stage: str, cap: float, reserve: float,
@@ -688,7 +701,8 @@ def main():
 
     def run_with_retry(stage: str, cap: float, reserve: float,
                        attempts: int = 3,
-                       boot_schedule: tuple = ()) -> dict:
+                       boot_schedule: tuple = (),
+                       final_longwait: bool = False) -> dict:
         """Respawn a failed stage while time allows: an init-stalled child
         is killed by the boot watchdog (nothing computed by then), and the
         shared compilation cache makes post-compile respawns cheap. The
@@ -706,11 +720,19 @@ def main():
         for i in range(attempts):
             bt = (boot_schedule[min(i, len(boot_schedule) - 1)]
                   if boot_schedule else _BOOT_TIMEOUT * (i + 1))
+            if final_longwait and i == attempts - 1:
+                # last roll: stop re-rolling and OUT-WAIT the stall phase —
+                # the futex stalls can run multiple minutes (CLAUDE.md), so
+                # spend everything but a measurement slice on one long boot
+                bt = max(bt, min(cap, _left() - reserve) - 60)
             got, kill_kind = run(stage, cap, reserve, boot_timeout=bt)
+            skipped = not got and kill_kind is None
             out = {**got, **out}
             complete = bool(out) and not (stage == "vga"
                                           and "fps_packed_bf16_b1" not in out)
             if complete or _left() - reserve < 60:
+                break
+            if skipped:  # the remaining budget can only shrink
                 break
             if kill_kind == "budget" and stage != "vga":
                 sys.stderr.write(f"bench stage {stage}: budget kill — "
@@ -726,11 +748,13 @@ def main():
 
     # headline first. Init-stall physics (CLAUDE.md): each fresh child
     # re-rolls the stall dice, so for the one stage that MUST produce a
-    # number we buy more, cheaper rolls — 5 attempts at 90/120/150/210/270 s
-    # boot timeouts instead of 3 at 90/180/270 (a fresh-chip run booted 3/3
-    # over 90 s once under host contention and the headline came out null).
+    # number we buy cheap rolls first (60/90/120/180 s boot timeouts — a
+    # chip run once stalled 4/4 at 90-210 s), then the LAST attempt
+    # out-waits the stall phase with a long boot timeout instead of
+    # re-rolling (stalls can run multiple minutes and resolve).
     extra.update(run_with_retry("vga", cap=420, reserve=120, attempts=5,
-                                boot_schedule=(90, 120, 150, 210, 270)))
+                                boot_schedule=(60, 90, 120, 180, 240),
+                                final_longwait=True))
     emit()
     stage_caps = [("train", 300, 75), ("scan", 150, 50),
                   ("streamed", 180, 30), ("torch", 90, 10)]

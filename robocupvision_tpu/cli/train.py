@@ -153,6 +153,32 @@ def main(argv=None) -> int:
                 print(f"############ Finetune with decay: {decay:.1E} ############")
                 print("#" * 54)
 
+            # restart bookkeeping FIRST (needs only flags+transfer+decay):
+            # a restarted --resume sweep must not re-train combos (or combo
+            # phases) that already finished — a fresh rerun would overwrite
+            # the best checkpoint with differently-shuffled weights. The
+            # marker records the completed PHASE: "main" (training done,
+            # pruning finetune possibly not) or "done" (everything).
+            path = naming.train_ckpt_name(flags, transfer)
+            resume_path = None
+            marker = None
+            main_done = False
+            if opt.resume:
+                resume_path = f"{path}.resume-T{transfer}-{decay:g}.npz"
+                marker = resume_path + ".done"
+                if os.path.exists(marker):
+                    with open(marker) as f:
+                        txt = f.read().split()
+                    best_loss_final = float(txt[1]) if len(txt) > 1 else 0.0
+                    done_markers.append(marker)
+                    if txt[:1] == ["done"]:
+                        print(f"Skipping completed combo transfer={transfer} "
+                              f"decay={decay:g} (resume marker)")
+                        continue
+                    main_done = True
+                    print(f"Skipping completed main phase transfer={transfer} "
+                          f"decay={decay:g} (resume marker)")
+
             model = zoo.make("robo_unet", no_scale=opt.noScale,
                              num_classes=num_classes, pool=opt.UNet, v2=opt.v2,
                              **hyper)
@@ -160,85 +186,77 @@ def main(argv=None) -> int:
             print([round(c) for c in comp])
             print(round(sum(comp)))
 
-            cfg = StepCfg(num_classes=num_classes,
-                          loss="dice" if opt.useDice else "ce2d",
-                          class_weights=weights, l1_decay=decay,
-                          mask_flags=mask_flags, out_size=out_size,
-                          compute_dtype="bfloat16" if opt.bf16 else "float32")
-            tx = optim.adam()
-            mult = optim.transfer_multipliers(model.param_order, transfer)
-            mesh = None
-            if len(jax.devices()) > 1 or opt.spatial > 1:
-                from robocupvision_tpu.parallel.mesh import make_mesh
+            if not main_done:
+                cfg = StepCfg(num_classes=num_classes,
+                              loss="dice" if opt.useDice else "ce2d",
+                              class_weights=weights, l1_decay=decay,
+                              mask_flags=mask_flags, out_size=out_size,
+                              compute_dtype="bfloat16" if opt.bf16 else "float32")
+                tx = optim.adam()
+                mult = optim.transfer_multipliers(model.param_order, transfer)
+                mesh = None
+                if len(jax.devices()) > 1 or opt.spatial > 1:
+                    from robocupvision_tpu.parallel.mesh import make_mesh
 
-                mesh = make_mesh(spatial=opt.spatial)
-                print(f"mesh: data={mesh.shape['data']} "
-                      f"spatial={mesh.shape['spatial']}")
-            tr = Trainer(model, tx, cfg, train_cache, val_cache, batch_size,
-                         multipliers=mult, mesh=mesh)
-            tr.init(jax.random.PRNGKey(12345678))
+                    mesh = make_mesh(spatial=opt.spatial)
+                    print(f"mesh: data={mesh.shape['data']} "
+                          f"spatial={mesh.shape['spatial']}")
+                tr = Trainer(model, tx, cfg, train_cache, val_cache, batch_size,
+                             multipliers=mult, mesh=mesh)
+                tr.init(jax.random.PRNGKey(12345678))
 
-            if finetune:
-                load_path = naming.train_load_name(flags)
-                print(f"Loading {load_path}")
-                tr.set_params(checkpoint.load_any(load_path, model.registry))
+                if finetune:
+                    load_path = naming.train_load_name(flags)
+                    print(f"Loading {load_path}")
+                    tr.set_params(checkpoint.load_any(load_path, model.registry))
 
-            eta_min = learning_rate / 25 if opt.transfer else learning_rate / 10
-            sched = CosineAnnealingLR([learning_rate], epochs, eta_min)
-            lrs = []
-            for _ in range(epochs):
-                lrs.append(sched.get_lr()[0])
-                sched.step()
+                eta_min = learning_rate / 25 if opt.transfer else learning_rate / 10
+                sched = CosineAnnealingLR([learning_rate], epochs, eta_min)
+                lrs = []
+                for _ in range(epochs):
+                    lrs.append(sched.get_lr()[0])
+                    sched.step()
 
-            # the epoch loop runs as scanned device programs in
-            # --chunkEpochs-sized dispatches; per-epoch prints stream after
-            # each chunk and the best checkpoint is written the moment a
-            # chunk improves it — a killed run keeps its best weights
-            path = naming.train_ckpt_name(flags, transfer)
+                # the epoch loop runs as scanned device programs in
+                # --chunkEpochs-sized dispatches; per-epoch prints stream after
+                # each chunk and the best checkpoint is written the moment a
+                # chunk improves it — a killed run keeps its best weights
+                def on_chunk(off, ms, chunk_best):
+                    for i in range(len(ms["better"])):
+                        epoch = off + i
+                        lr = lrs[epoch]
+                        print("[Epoch Train %d/%d lr: %.4f][Losses: reg %f, "
+                              "pruned %f, total %f][Pixel Acc: %f]"
+                              % (epoch + 1, epochs, lr / learning_rate,
+                                 ms["train_reg"][i], ms["pruned"][i],
+                                 ms["train_loss"][i], ms["train_pixel_acc"][i]))
+                        print("[Epoch Val %d/%d lr: %.4f][Losses: total %f]"
+                              "[Pixel Acc: %f, Mean Class Acc: %f, Mean IoU: %f]"
+                              % (epoch + 1, epochs, lr / learning_rate,
+                                 ms["val_loss"][i], ms["pixel_acc"][i],
+                                 ms["mean_class_acc"][i], ms["mean_iou"][i]))
+                        if ms["better"][i]:
+                            print("Saving best model")
+                            print(np.array_str(ms["conf"][i], precision=2,
+                                               suppress_small=True))
+                    if chunk_best is not None:
+                        checkpoint.save(path, model.registry, chunk_best)
 
-            def on_chunk(off, ms, chunk_best):
-                for i in range(len(ms["better"])):
-                    epoch = off + i
-                    lr = lrs[epoch]
-                    print("[Epoch Train %d/%d lr: %.4f][Losses: reg %f, "
-                          "pruned %f, total %f][Pixel Acc: %f]"
-                          % (epoch + 1, epochs, lr / learning_rate,
-                             ms["train_reg"][i], ms["pruned"][i],
-                             ms["train_loss"][i], ms["train_pixel_acc"][i]))
-                    print("[Epoch Val %d/%d lr: %.4f][Losses: total %f]"
-                          "[Pixel Acc: %f, Mean Class Acc: %f, Mean IoU: %f]"
-                          % (epoch + 1, epochs, lr / learning_rate,
-                             ms["val_loss"][i], ms["pixel_acc"][i],
-                             ms["mean_class_acc"][i], ms["mean_iou"][i]))
-                    if ms["better"][i]:
-                        print("Saving best model")
-                        print(np.array_str(ms["conf"][i], precision=2,
-                                           suppress_small=True))
-                if chunk_best is not None:
-                    checkpoint.save(path, model.registry, chunk_best)
-
-            resume_path = None
-            if opt.resume:
-                resume_path = f"{path}.resume-T{transfer}-{decay:g}.npz"
-                # a restarted sweep must not re-train combos that already
-                # finished (their resume snapshot is deleted on completion,
-                # so without this marker they'd rerun from scratch AND
-                # overwrite the best checkpoint with a fresh run's weights)
-                if os.path.exists(resume_path + ".done"):
-                    with open(resume_path + ".done") as f:
-                        best_loss_final = float(f.read().strip() or 0.0)
-                    done_markers.append(resume_path + ".done")
-                    print(f"Skipping completed combo transfer={transfer} "
-                          f"decay={decay:g} (resume marker)")
-                    continue
-            best_loss, best_params, ms = tr.train_run(
-                epochs, lrs, chunk_epochs=opt.chunkEpochs or None,
-                on_chunk=on_chunk, resume_path=resume_path)
-            if resume_path is not None and os.path.exists(resume_path):
-                os.remove(resume_path)  # run completed; snapshot obsolete
-            if best_params is not None:
-                checkpoint.save(path, model.registry, best_params)
-            best_loss_final = best_loss
+                best_loss, best_params, ms = tr.train_run(
+                    epochs, lrs, chunk_epochs=opt.chunkEpochs or None,
+                    on_chunk=on_chunk, resume_path=resume_path)
+                if resume_path is not None and os.path.exists(resume_path):
+                    os.remove(resume_path)  # run completed; snapshot obsolete
+                if best_params is not None:
+                    checkpoint.save(path, model.registry, best_params)
+                best_loss_final = best_loss
+                if marker is not None:
+                    # main phase durable; a restart mid-pruning must not
+                    # re-train it (the pruning finetune below is a whole
+                    # 25-epoch run — a real crash window)
+                    with open(marker, "w") as f:
+                        f.write(f"main {float(best_loss_final)!r}")
+                    done_markers.append(marker)
 
             # post-finetune pruning phase (train.py:375-388)
             if finetune and transfer == 0:
@@ -271,27 +289,38 @@ def main(argv=None) -> int:
                         if ms["better"][i]:
                             print("Saving best model")
 
+                prune_resume = f"{path}.resume-prune-{decay:g}.npz" \
+                    if opt.resume else None
                 best_loss, best_params, ms = tr.train_run(
                     25, [learning_rate / 20] * 25, prune_masks=masks,
                     chunk_epochs=opt.chunkEpochs or None,
-                    on_chunk=on_prune_chunk)
-                best_epoch = int(np.nonzero(ms["better"])[0][-1]) \
-                    if np.any(ms["better"]) else -1
+                    on_chunk=on_prune_chunk, resume_path=prune_resume)
+                if prune_resume is not None and os.path.exists(prune_resume):
+                    os.remove(prune_resume)
                 if best_params is not None:
-                    prune_pct = round(float(ms["pruned"][best_epoch]) * 100)
+                    if len(ms):  # normal path: per-epoch metrics available
+                        best_epoch = int(np.nonzero(ms["better"])[0][-1]) \
+                            if np.any(ms["better"]) else -1
+                        prune_pct = round(float(ms["pruned"][best_epoch]) * 100)
+                    else:  # resumed an already-finished run: derive from masks
+                        z = sum(float((np.asarray(m) == 0).sum())
+                                for m in masks.values())
+                        t = sum(np.asarray(m).size for m in masks.values())
+                        prune_pct = round(100.0 * z / max(t, 1))
                     mflops = round(sum(zoo.robo_unet_get_computations(
                         model.cfg, best_params, pruned=True)) / 1e6)
-                    path = naming.train_ckpt_name(flags, 0, pruned=True,
-                                                  prune_pct=prune_pct,
-                                                  mflops=mflops)
-                    checkpoint.save(path, model.registry, best_params)
+                    pruned_path = naming.train_ckpt_name(flags, 0, pruned=True,
+                                                         prune_pct=prune_pct,
+                                                         mflops=mflops)
+                    checkpoint.save(pruned_path, model.registry, best_params)
 
             # combo fully done (incl. pruning phase) — mark it so a
-            # restarted sweep skips it instead of re-training
-            if resume_path is not None:
-                with open(resume_path + ".done", "w") as f:
-                    f.write(repr(float(best_loss_final)))
-                done_markers.append(resume_path + ".done")
+            # restarted sweep skips it entirely
+            if marker is not None:
+                with open(marker, "w") as f:
+                    f.write(f"done {float(best_loss_final)!r}")
+                if marker not in done_markers:
+                    done_markers.append(marker)
     for m in done_markers:  # whole sweep finished; a fresh rerun retrains
         if os.path.exists(m):
             os.remove(m)

@@ -74,11 +74,13 @@ class StreamingBatches:
         # leave the others blocked in psum at the epoch tail. Short hosts pad
         # with zero-mask batches up to the common (largest-shard) count.
         n_batches = len(self)
+        donor = None  # decoded once; all-padding batches only need shapes
         for bi in range(n_batches):
             idx = order[bi * bs:(bi + 1) * bs]
             if len(idx) == 0:
-                # shape donor for an all-padding batch
-                img0, lab0 = self.dataset[int(order[0]) if n else 0]
+                if donor is None:
+                    donor = self.dataset[int(order[0]) if n else 0]
+                img0, lab0 = donor
                 imgs = np.zeros((bs,) + img0.shape, img0.dtype)
                 labs = np.zeros((bs,) + lab0.shape, lab0.dtype)
                 yield imgs, labs, np.zeros(bs, np.float32)

@@ -63,6 +63,10 @@ def export_serving(path: str, model, params, hw=(480, 640),
 
     if dtype is None:
         dtype = jnp.bfloat16
+    if raw_u8 and model.family == "label_prop":
+        raise ValueError("raw_u8 export is for camera-input nets; LabelProp's "
+                         "8-channel input (img+flow+prior label) is not raw "
+                         "camera bytes")
     if packed:
         from robocupvision_tpu.models import packed as pk
 

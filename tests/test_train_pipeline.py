@@ -274,7 +274,7 @@ def test_train_cli_resume_skips_completed_combo(data_root, tmp_path,
 
     # simulate a restart after this combo completed but the sweep didn't:
     with open(marker, "w") as f:
-        f.write("0.5")
+        f.write("done 0.5")
     before = ckpt.read_bytes()
     rc = cli_train.main(args)
     assert rc == 0
@@ -282,6 +282,18 @@ def test_train_cli_resume_skips_completed_combo(data_root, tmp_path,
     assert "Skipping completed combo" in out
     assert "Saving best model" not in out
     assert ckpt.read_bytes() == before  # not overwritten by a rerun
+
+    # phase-level marker: "main" means the training run finished but the
+    # combo didn't (crash inside the pruning finetune) — the main run must
+    # not re-train
+    with open(marker, "w") as f:
+        f.write("main 0.5")
+    rc = cli_train.main(args)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Skipping completed main phase" in out
+    assert "[Epoch Train" not in out
+    assert ckpt.read_bytes() == before
 
 
 def test_streaming_batches(data_root):
