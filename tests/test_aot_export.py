@@ -84,3 +84,16 @@ def test_aot_raw_u8_roundtrip(tmp_path, small_unet):
     live = pk.build_packed_infer(model, params, dtype=jnp.float32).infer_u8_io
     np.testing.assert_array_equal(np.asarray(fn(frame)),
                                   np.asarray(jax.jit(live)(frame)))
+
+
+def test_aot_cross_platform_export_from_cpu(tmp_path, small_unet):
+    """Dual-platform export: a CPU-only build host can emit an artifact
+    that targets BOTH cpu and tpu (jax.export cross-lowers without the
+    device); it still runs here on cpu. This is the deployment story for
+    building robot/server artifacts off-device."""
+    model, params = small_unet
+    out = aot.export_serving(str(tmp_path), model, params, hw=(16, 16),
+                             dtype=jnp.float32, platforms=("cpu", "tpu"))
+    fn = aot.load_serving(out)
+    y = np.asarray(fn(np.zeros((1, 16, 16, 3), np.float32)))
+    assert y.shape == (1, 16, 16) and y.dtype == np.uint8
