@@ -695,6 +695,13 @@ def main():
         sys.stderr.write(f"bench stage {stage}: budget {budget:.0f}s "
                          f"({_left():.0f}s left)\n")
         out, kill_kind = _stage_subprocess(stage, budget, boot_timeout)
+        if kill_kind == "init":
+            # a null/missing metric caused by the transport refusing
+            # backend init must read as an infrastructure outage in the
+            # report, not a framework regression (an Aug-17 outage phase
+            # stalled every boot for 60+ minutes straight)
+            extra["infra_init_stall_kills"] = \
+                extra.get("infra_init_stall_kills", 0) + 1
         if not out:
             failed.append(stage)
         return out, kill_kind
