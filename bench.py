@@ -217,12 +217,13 @@ def bench_vga_inference():
         _emit(out)
 
         frame_f32 = np.asarray(x1)  # host-resident preprocessed frame
+        f32_iters = max(3, serve_iters // 3)  # 4x the bytes: smaller window
 
         def serve_f32_wire_once():
             t0 = time.perf_counter()
-            for _ in range(serve_iters):
+            for _ in range(f32_iters):
                 np.asarray(pfn8(frame_f32))
-            return serve_iters / (time.perf_counter() - t0)
+            return f32_iters / (time.perf_counter() - t0)
 
         out["fps_serving_e2e_f32_wire"] = \
             sorted(serve_f32_wire_once() for _ in range(3))[1]
