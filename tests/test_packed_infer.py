@@ -347,3 +347,38 @@ def test_infer_u8_io_matches_host_preprocessing():
     got = np.asarray(jax.jit(pi.infer_u8_io)(jnp.asarray(frame)))
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(6))
+def test_packed_parity_fuzzed_configs(seed):
+    """Seeded random-config fuzz over the whole RoboUNet hyper space:
+    packed-vs-standard logits parity must hold for ANY buildable config,
+    not just the deployed variants and pinned corners above."""
+    rng = np.random.default_rng(1000 + seed)
+    cfgkw = dict(
+        planes=int(rng.choice([4, 6, 8, 12])),
+        depth=int(rng.choice([4, 5])),
+        levels=int(rng.choice([1, 2, 3])),
+        belly_size=int(rng.choice([0, 1, 3, 5])),
+        belly_planes=int(rng.choice([16, 32, 64])),
+        pool=bool(rng.random() < 0.3),
+        v2=bool(rng.random() < 0.3),
+        num_classes=int(rng.choice([2, 5])),
+        no_scale=bool(rng.random() < 0.5),
+    )
+    if cfgkw["v2"]:
+        cfgkw["class_size"] = int(rng.choice([1, 3]))
+    model = zoo.make("robo_unet", **cfgkw)
+    params = _randomized_params(model, 2000 + seed)
+    pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
+
+    hw = (64, 64) if cfgkw["no_scale"] else (32, 64)
+    x = jnp.asarray(rng.standard_normal((1, *hw, 3)), jnp.float32)
+    want, _ = model.apply(params, x)
+    got = pi.logits(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4, err_msg=str(cfgkw))
+    np.testing.assert_array_equal(
+        np.asarray(pi.infer(x)),
+        np.asarray(jnp.argmax(want, axis=-1)), err_msg=str(cfgkw))
