@@ -382,3 +382,24 @@ def test_packed_parity_fuzzed_configs(seed):
     np.testing.assert_array_equal(
         np.asarray(pi.infer(x)),
         np.asarray(jnp.argmax(want, axis=-1)), err_msg=str(cfgkw))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(3))
+def test_packed_pb_fcn_parity_fuzzed(seed):
+    """Same fuzz idea for the PB_FCN family (planes/kernel/scale knobs)."""
+    rng = np.random.default_rng(3000 + seed)
+    cfgkw = dict(planes=int(rng.choice([16, 24, 32])),
+                 kernel_size=int(rng.choice([1, 3])),
+                 num_classes=int(rng.choice([2, 5])),
+                 no_scale=bool(rng.random() < 0.5))
+    model = zoo.make("pb_fcn", classify=False, **cfgkw)
+    params = _randomized_params(model, 4000 + seed)
+    pi = packed.build_packed_pb_fcn(model, params, dtype=jnp.float32)
+
+    hw = (64, 64) if cfgkw["no_scale"] else (32, 64)
+    x = jnp.asarray(rng.standard_normal((1, *hw, 3)), jnp.float32)
+    want, _ = model.apply(params, x)
+    got = pi.logits(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4, err_msg=str(cfgkw))
