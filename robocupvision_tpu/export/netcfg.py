@@ -164,36 +164,45 @@ def label_prop_sections(planes: int = 32, num_classes: int = 5) -> List[Section]
 
 
 def robo_unet_sections(cfg) -> List[Section]:
-    """ROBO-UNet deployment graph from a zoo.RoboUNetCfg (non-pool variants;
-    v2 uses [concat] instead of [shortcut])."""
+    """ROBO-UNet deployment graph from a zoo.RoboUNetCfg. pool=True (--UNet,
+    reference train.py:211 / model.py:384-388) emits [maxpool] + stride-1
+    convs per LevelDown; v2 uses [concat] instead of [shortcut]."""
     h, w = cfg.img_shape
     secs: List[Section] = [("net", dict(height=h, width=w, channels=3,
                                         downscale=2 if cfg.no_scale else 4))]
     depth = cfg.eff_depth
     pl = cfg.planes
     skips: List[int] = []
-    if cfg.pool:
-        raise NotImplementedError("vanilla-UNet maxpool export not yet supported")
 
     def conv_bn_relu(filters, stride):
         # zoo "Conv" block: conv(relu) then BN — exported as conv(act=relu)+bn(linear)
         secs.append(_conv(filters, 3, stride, 1, 1, activation="relu", has_bias=1))
         secs.append(("batchnorm", {"activation": "linear"}))
 
-    def level(cin, cout, levels, do_pool):
-        conv_bn_relu(cout, 2 if do_pool else 1)
-        for _ in range(max(levels, 1) - 1):
-            conv_bn_relu(cout, 1)
+    def level(cin, cout, levels, do_pool, pool):
+        # mirrors layers.level_down (reference LevelDown, model.py:379-401):
+        # pool mode downsamples with MaxPool(2,2) and drops one conv level
+        if pool:
+            if do_pool:
+                secs.append(("maxpool", {"size": 2, "stride": 2}))
+                levels -= 1
+            for _ in range(max(levels, 1)):
+                conv_bn_relu(cout, 1)
+        else:
+            conv_bn_relu(cout, 2 if do_pool else 1)
+            for _ in range(max(levels, 1) - 1):
+                conv_bn_relu(cout, 1)
 
-    level(3, pl, cfg.levels - 1, False)
+    level(3, pl, cfg.levels - 1, False, cfg.pool)
     skips.append(len(secs) - 2)
     for i in range(depth - 1):
         n_ch = pl * 2 ** i
-        level(n_ch, n_ch * 2, cfg.levels, True)
+        level(n_ch, n_ch * 2, cfg.levels, True, cfg.pool)
         skips.append(len(secs) - 2)
     if cfg.belly_size > 0:
-        level(pl * 2 ** (depth - 1), cfg.belly_planes, cfg.belly_size - 1, False)
-        level(cfg.belly_planes, pl * 2 ** (depth - 1), 1, False)
+        level(pl * 2 ** (depth - 1), cfg.belly_planes, cfg.belly_size - 1,
+              False, False)
+        level(cfg.belly_planes, pl * 2 ** (depth - 1), 1, False, False)
     for i in range(depth - 1):
         n_ch = pl * 2 ** (depth - 1 - i)
         secs.append(_tconv(n_ch // 2))

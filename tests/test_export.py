@@ -110,6 +110,10 @@ def test_label_prop_cfg_matches_reference_file():
                        belly_planes=8), 3),
     ("robo_unet", dict(planes=4, depth=3, levels=1, belly_size=2,
                        belly_planes=8, v2=True, class_size=3), 3),
+    # --UNet (pool) deployment graph — reference train.py:211, maxpool golden
+    # vectors in testDumper.py:30-43
+    ("robo_unet", dict(planes=4, depth=3, levels=2, belly_size=2,
+                       belly_planes=8, pool=True), 3),
 ])
 def test_deployment_export_self_consistent(tmp_path, family, kwargs, in_ch):
     """cfg + weights.dat executed by the interpreter == live model forward."""

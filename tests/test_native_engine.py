@@ -181,6 +181,9 @@ def test_connected_golden(tmp_path):
                        belly_planes=8), 3, (48, 64)),
     ("robo_unet", dict(planes=4, depth=3, levels=1, belly_size=2,
                        belly_planes=8, v2=True, class_size=3), 3, (48, 64)),
+    # --UNet (pool) deployment: [maxpool] sections through the C++ engine
+    ("robo_unet", dict(planes=4, depth=3, levels=2, belly_size=2,
+                       belly_planes=8, pool=True), 3, (48, 64)),
 ])
 def test_full_network_engine_parity(tmp_path, family, kwargs, in_ch, hw):
     m = zoo.make(family, **kwargs)

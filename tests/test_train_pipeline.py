@@ -605,6 +605,35 @@ def test_train_cli_dice_and_unet_variants(data_root, tmp_path, monkeypatch):
     assert rc == 0
     assert osp.exists("checkpoints/bestUNet.weights")
 
+    # ship the robot artifact from the TRAINED --UNet checkpoint: export
+    # net.cfg (+[maxpool]) + weights.dat, then require the C++ engine, the
+    # cfg interpreter, and the packed TPU graph to agree on the labels
+    # (reference deployment surface: train.py:211 + weights/net.cfg format)
+    import jax
+    import jax.numpy as jnp
+
+    from robocupvision_tpu.cli.train import model_hyper
+    from robocupvision_tpu.export import deploy
+    from robocupvision_tpu.export.engine import NativeEngine
+    from robocupvision_tpu.models import packed, zoo
+
+    with np.load("checkpoints/bestUNet.weights") as z:
+        params = {k: z[k] for k in z.files}
+    model = zoo.make("robo_unet", pool=True, **model_hyper(True, False))
+    deploy.export_deployment("weightsUNet", model, params)
+    x = np.random.default_rng(0).standard_normal((1, 48, 64, 3)).astype(np.float32)
+    deploy.verify_deployment("weightsUNet", model, params, x)
+
+    eng = NativeEngine("weightsUNet/net.cfg", "weightsUNet/weights.dat")
+    assert eng.weights_fully_consumed
+    probs = eng.forward(np.ascontiguousarray(x[0].transpose(2, 0, 1)))
+    eng_labels = np.argmax(probs, axis=0)
+
+    pi = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    packed_labels = np.asarray(jax.jit(pi.infer)(jnp.asarray(x)))[0]
+    agree = float(np.mean(eng_labels == packed_labels))
+    assert agree >= 0.999, f"engine-vs-packed label agreement {agree}"
+
 
 @pytest.mark.slow
 def test_train_cli_transfer_sweep(data_root, tmp_path, monkeypatch, capsys):
