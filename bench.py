@@ -34,6 +34,8 @@ _T0 = time.monotonic()
 _DEADLINE = float(os.environ.get("BENCH_DEADLINE_SECS", "780"))
 _CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                             "/root/repo/.jax_bench_cache")
+_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "docs", "last_good_bench.json")
 
 
 def _left() -> float:
@@ -543,6 +545,25 @@ def _run_stage(stage: str):
 _BOOT_TIMEOUT = float(os.environ.get("BENCH_BOOT_TIMEOUT_SECS", "90"))
 
 
+def _outage_probe(cap: float) -> bool:
+    """Can a fresh process init the backend and complete one D2H fetch within
+    ``cap`` seconds? The tunnel's outage phases hang EVERY process's backend
+    init in futex wait (CLAUDE.md; 60+ min observed on Aug 17), so a capped
+    child interpreter is the only safe way to ask."""
+    import subprocess
+
+    src = ("import jax, jax.numpy as jnp; jax.devices(); "
+           "jax.device_get(jnp.zeros(1)); print('PROBE_OK')")
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
+    try:
+        proc = subprocess.run([sys.executable, "-c", src], env=env,
+                              capture_output=True, text=True, timeout=cap)
+        return "PROBE_OK" in proc.stdout
+    except Exception:
+        return False
+
+
 def _stage_subprocess(stage: str, budget: float,
                       boot_timeout: float | None = None) -> tuple:
     """Run one stage in a fresh interpreter under ``budget`` seconds; parse
@@ -654,13 +675,67 @@ def _assemble(extra_raw: dict, failed: list) -> dict:
     extra = {k: (round(v, 2) if isinstance(v, float) else v)
              for k, v in extra.items()}
 
-    return {
+    out = {
         "metric": "robo_unet_vga_640x480_inference_fps_per_chip",
         "value": round(fps, 2) if fps else None,
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 2) if fps else None,
         "extra": extra,
     }
+    # Always carry the most recent committed clean run: a transport-outage
+    # run (null headline) must still be evidence-bearing (VERDICT r3 #1).
+    lg = _load_last_good()
+    if lg:
+        out["last_good"] = lg
+    return out
+
+
+def _load_last_good() -> dict:
+    try:
+        with open(_LAST_GOOD) as f:
+            lg = json.load(f)
+        lg.pop("note", None)
+        return lg
+    except Exception:
+        return {}
+
+
+def _store_last_good(payload: dict) -> None:
+    """After a clean run (non-null headline), refresh the committed
+    last-good artifact with this run's numbers + provenance."""
+    import datetime
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    record = {
+        "note": ("Most recent clean full driver-style bench run on the real "
+                 "chip. bench.py embeds this block as `last_good` in every "
+                 "final JSON so an outage run is never evidence-free, and "
+                 "rewrites this file after each clean run (the driver "
+                 "commits it)."),
+        "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "commit": commit or "unknown",
+        "source": "bench.py run (this file is rewritten by bench.py itself)",
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "vs_baseline": payload["vs_baseline"],
+        "extra": {k: v for k, v in payload["extra"].items()
+                  if k != "failed_stages"},
+    }
+    try:
+        with open(_LAST_GOOD, "w") as f:
+            json.dump(record, f, indent=2)
+            f.write("\n")
+    except Exception as e:  # read-only checkout: the run must still succeed
+        sys.stderr.write(f"last_good write failed: {e}\n")
 
 
 def main():
@@ -754,6 +829,44 @@ def main():
                     failed.remove(marker)
         return out
 
+    # Outage gate (VERDICT r3 #1): ONE capped probe before spending budget
+    # on full stage respawns. If the transport is in an outage phase (every
+    # backend init hangs — CLAUDE.md), alternate cheap re-probes with sleeps
+    # to the end of budget: the tunnel can recover mid-window, and a probe +
+    # sleep costs seconds where a doomed stage spawn costs its whole boot
+    # schedule. The final JSON always carries `last_good`, so even a
+    # full-outage run is evidence-bearing.
+    probe_cap = float(os.environ.get("BENCH_PROBE_CAP_SECS", "120"))
+    if not _outage_probe(min(probe_cap, max(_left() - 120, 30.0))):
+        extra["infra_init_stall_kills"] = 1
+        extra["outage_probe_failures"] = 1
+        emit()
+        recovered = False
+        while _left() > 180:
+            time.sleep(min(45.0, max(_left() - 150.0, 1.0)))
+            if _outage_probe(min(90.0, _left() - 90.0)):
+                recovered = True
+                break
+            extra["outage_probe_failures"] += 1
+            extra["infra_init_stall_kills"] += 1
+            emit()
+        if recovered:
+            extra["outage_wait_secs"] = round(time.monotonic() - _T0, 1)
+        else:
+            # hard-down for the whole budget: mark the TPU stages as
+            # outage-skipped, still run the CPU-only torch baseline, and
+            # leave a final JSON whose null headline reads as infrastructure
+            extra["outage"] = "backend init stalled for the whole budget"
+            for stage in ("vga", "train", "scan", "streamed"):
+                failed.append(stage + ":skipped")
+            if _left() > 55:
+                got, _ = _stage_subprocess("torch", min(90.0, _left() - 10.0))
+                extra.update(got or {})
+                if not got:
+                    failed.append("torch")
+            emit()
+            return
+
     # headline first. Init-stall physics (CLAUDE.md): each fresh child
     # re-rolls the stall dice, so for the one stage that MUST produce a
     # number we buy cheap rolls first (60/90/120/180 s boot timeouts — a
@@ -780,6 +893,12 @@ def main():
                              f"({_left():.0f}s left)\n")
             extra.update(run_with_retry(stage, cap, reserve=60, attempts=2))
             emit()
+
+    # a clean run (non-null headline) refreshes the committed last-good
+    # artifact so the NEXT outage run still carries real numbers
+    payload = _assemble(extra, failed)
+    if payload["value"] is not None:
+        _store_last_good(payload)
 
 
 if __name__ == "__main__":
