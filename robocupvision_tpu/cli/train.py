@@ -298,15 +298,19 @@ def main(argv=None) -> int:
                 if prune_resume is not None and os.path.exists(prune_resume):
                     os.remove(prune_resume)
                 if best_params is not None:
-                    if len(ms):  # normal path: per-epoch metrics available
-                        best_epoch = int(np.nonzero(ms["better"])[0][-1]) \
-                            if np.any(ms["better"]) else -1
+                    if len(ms) and np.any(ms["better"]):
+                        # pct from the epoch that produced best_params: the
+                        # filename is an API (train/naming.py)
+                        best_epoch = int(np.nonzero(ms["better"])[0][-1])
                         prune_pct = round(float(ms["pruned"][best_epoch]) * 100)
-                    else:  # resumed an already-finished run: derive from masks
-                        z = sum(float((np.asarray(m) == 0).sum())
-                                for m in masks.values())
-                        t = sum(np.asarray(m).size for m in masks.values())
-                        prune_pct = round(100.0 * z / max(t, 1))
+                    else:
+                        # resumed run whose best epoch lies in the already-
+                        # finished portion (or no metrics at all): recompute
+                        # the SAME near-zero metric ms["pruned"] carries
+                        # directly on the best params — never ms["pruned"][-1],
+                        # which labels the LAST epoch, not the best one
+                        prune_pct = round(100.0 * prune_ops.count_zero_weights(
+                            best_params, model.param_order))
                     mflops = round(sum(zoo.robo_unet_get_computations(
                         model.cfg, best_params, pruned=True)) / 1e6)
                     pruned_path = naming.train_ckpt_name(flags, 0, pruned=True,

@@ -117,9 +117,20 @@ class StreamingBatches:
         def producer():
             try:
                 for batch in self._host_batches():
-                    put = (lambda a: jax.device_put(a, self.sharding)) \
-                        if self.sharding is not None else jax.device_put
-                    imgs, labs, mask = (put(jnp.asarray(a)) for a in batch)
+                    if self.sharding is not None:
+                        # Build a GLOBAL array from this host's local batch.
+                        # jax.device_put(x, sharding) raises on meshes with
+                        # non-addressable devices, so this is the path that
+                        # actually works in real multi-process (DCN) JAX;
+                        # in single-process it is equivalent to device_put.
+                        # Downstream jit outputs (loss/metrics) are then
+                        # replicated GLOBAL values on every host.
+                        def put(a):
+                            return jax.make_array_from_process_local_data(
+                                self.sharding, np.ascontiguousarray(a))
+                    else:
+                        put = jax.device_put
+                    imgs, labs, mask = (put(np.asarray(a)) for a in batch)
                     if self.device_transform is not None:
                         imgs, labs = self.device_transform(imgs, labs)
                     if not _put((imgs, labs, mask)):

@@ -225,6 +225,14 @@ def batch_norm(
             unbiased = var * (n / max(n - 1, 1))
         new_rm = (1.0 - momentum) * running_mean + momentum * mean
         new_rv = (1.0 - momentum) * running_var + momentum * unbiased
+        if sample_mask is not None:
+            # an ALL-padding batch (multi-host epoch tails emit zero-mask
+            # batches so step counts agree — data/streaming.py) carries no
+            # real samples: its zero "statistics" must not drag the running
+            # mean/var toward zero
+            valid = jnp.sum(sample_mask.astype(jnp.float32)) > 0
+            new_rm = jnp.where(valid, new_rm, running_mean)
+            new_rv = jnp.where(valid, new_rv, running_var)
     else:
         mean = running_mean.astype(jnp.float32)
         var = running_var.astype(jnp.float32)
