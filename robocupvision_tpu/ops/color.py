@@ -229,3 +229,88 @@ def legacy_augment_batch(rng: jax.Array, imgs: jax.Array, labels: jax.Array,
     keys = jax.random.split(rng, imgs.shape[0])
     return jax.vmap(lambda k, i, l: legacy_augment_sample(
         k, i, l, jitter, use_vflip))(keys, imgs, labels)
+
+
+# ---------------------------------------------------------------------------
+# The reference's standalone Random* transforms (transform.py:88-137).
+# Unused by every reference entry point (the on-device YUV jitter supersedes
+# them in the working pipelines) — implemented for literal completeness.
+# The enhance_* helpers are the deterministic PIL ImageEnhance formulas on a
+# float32 RGB image in [0, 255]; the random_* wrappers reproduce the
+# reference's 0.9-probability gates and factor distributions.
+# ---------------------------------------------------------------------------
+
+_GRAY_W = np.array([0.299, 0.587, 0.114], np.float32)  # PIL convert("L")
+
+
+def add_noise(rng: jax.Array, img: jax.Array, std: float = 0.05) -> jax.Array:
+    """RandomNoise body (transform.py:88-93): additive Gaussian, tensor
+    domain (the reference applies it after ToTensor, so NO clipping)."""
+    return img + std * jax.random.normal(rng, img.shape, img.dtype)
+
+
+def enhance_brightness(img: jax.Array, factor) -> jax.Array:
+    """PIL ImageEnhance.Brightness: blend from black — img * factor."""
+    return jnp.clip(img * factor, 0.0, 255.0)
+
+
+def enhance_contrast(img: jax.Array, factor) -> jax.Array:
+    """PIL ImageEnhance.Contrast: blend from a constant image holding the
+    rounded mean of the grayscale conversion."""
+    gray = jnp.round(img @ _GRAY_W)
+    mean = jnp.floor(jnp.mean(gray) + 0.5)
+    return jnp.clip(mean + factor * (img - mean), 0.0, 255.0)
+
+
+def enhance_color(img: jax.Array, factor) -> jax.Array:
+    """PIL ImageEnhance.Color: blend from the per-pixel grayscale image."""
+    gray = jnp.round(img @ _GRAY_W)[..., None]
+    return jnp.clip(gray + factor * (img - gray), 0.0, 255.0)
+
+
+def hue_shift_saturating(img: jax.Array, amount, subtract) -> jax.Array:
+    """RandomHue body (transform.py:120-137): shift the PIL-HSV hue channel
+    (0..255 scale) by ``amount`` with SATURATING add/subtract — the
+    reference uses ImageChops.add/subtract, which clip instead of wrapping
+    the hue."""
+    h, s, v = _rgb_to_hsv(img / 255.0)
+    h255 = h * 255.0
+    h255 = jnp.where(subtract, jnp.clip(h255 - amount, 0.0, 255.0),
+                     jnp.clip(h255 + amount, 0.0, 255.0))
+    return jnp.clip(_hsv_to_rgb(h255 / 255.0, s, v) * 255.0, 0.0, 255.0)
+
+
+def _gated(rng: jax.Array, img: jax.Array, fn, p: float = 0.9):
+    kg, kf = jax.random.split(rng)
+    return jnp.where(jax.random.uniform(kg, ()) < p, fn(kf, img), img)
+
+
+def random_noise(rng: jax.Array, img: jax.Array) -> jax.Array:
+    return _gated(rng, img, add_noise)
+
+
+def random_brightness(rng: jax.Array, img: jax.Array) -> jax.Array:
+    return _gated(rng, img, lambda k, im: enhance_brightness(
+        im, 0.5 + jax.random.uniform(k, ())))
+
+
+def random_contrast(rng: jax.Array, img: jax.Array) -> jax.Array:
+    return _gated(rng, img, lambda k, im: enhance_contrast(
+        im, 0.5 + jax.random.uniform(k, ())))
+
+
+def random_color(rng: jax.Array, img: jax.Array) -> jax.Array:
+    return _gated(rng, img, lambda k, im: enhance_color(
+        im, 0.5 + jax.random.uniform(k, ())))
+
+
+def random_hue(rng: jax.Array, img: jax.Array) -> jax.Array:
+    def _apply(k, im):
+        ka, ks_ = jax.random.split(k)
+        # the reference builds its shift image via astype('uint8'), which
+        # truncates random()*30 to an integer shift of 0..29
+        amount = jnp.floor(jax.random.uniform(ka, ()) * 30.0)
+        subtract = jax.random.uniform(ks_, ()) >= 0.5
+        return hue_shift_saturating(im, amount, subtract)
+
+    return _gated(rng, img, _apply)
