@@ -440,8 +440,14 @@ class PackedInfer(_PackedBase):
     packed: Params       # packed/tiled tensors for the top of the net
     plain: Params        # original params (mid/low levels), cast to dtype
     dtype: jnp.dtype
+    # Pallas fused-region mode (build_packed_infer(pallas=True)): the top
+    # region's conv chains run as two fused VMEM-resident kernels
+    # (ops/pallas_packed.py) instead of separate XLA conv fusions
+    chains: Optional[dict] = None
 
     def _logits_packed(self, x: jax.Array) -> jax.Array:
+        if self.chains is not None:
+            return self._logits_packed_pallas(x)
         cfg, p, plan = self.cfg, self.plain, self.plan
         mut: Params = {}
         h = x.astype(self.dtype)
@@ -469,6 +475,40 @@ class PackedInfer(_PackedBase):
             else:
                 up = y + skip
         return self._blk(plan.head, up, mut)
+
+    def _logits_packed_pallas(self, x: jax.Array) -> jax.Array:
+        """Flagship plan with the two packed-grid conv regions fused into
+        Pallas kernels: [L1C0, L1C1, L2C0, L2C1] after the stem and
+        [Up(D-3)+skip, Up(D-2)+skip, head] before the output — the exact
+        stages whose inter-fusion relayout copies dominate the XLA
+        profile (PERF.md r3)."""
+        from robocupvision_tpu.ops import pallas_packed as ppk
+
+        cfg, p, plan = self.cfg, self.plain, self.plan
+        ch = self.chains
+        mut: Params = {}
+        h = x.astype(self.dtype)
+        for blk in plan.downs[0]:
+            h = self._blk(blk, h, mut)     # stem (XLA conv)
+        feats = {0: h}
+        feats[1], feats[2] = ppk.fused_conv_chain(
+            h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+        h = feats[2]
+        D = len(plan.downs)
+        for lvl in range(3, D):
+            for blk in plan.downs[lvl]:
+                h = self._blk(blk, h, mut)
+            feats[lvl] = h
+        if plan.belly:
+            h = L.level_down(p, mut, "PB.PB_1", h, cfg.belly_size - 1, False,
+                             False, False)
+            h = L.level_down(p, mut, "PB.PB_2", h, 1, False, False, False)
+        up = h
+        for j in range(D - 3):             # f==1 ups stay on the plain path
+            up = self._blk(plan.ups[j], up, mut) + feats[D - 2 - j]
+        out = ppk.fused_conv_chain(up, ch["up"], skips=[feats[1], feats[0]],
+                                   interpret=ch["interpret"], band=ch["band"])
+        return out[-1]
 
 
 @dataclasses.dataclass
@@ -830,9 +870,47 @@ def _pack_blocks(np_params: Params, blks, dtype) -> Params:
     return packed
 
 
+def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
+                           np_params: Params, dtype,
+                           interpret: bool, band) -> dict:
+    """ChainStage lists for the flagship plan's two Pallas fused regions
+    (ops/pallas_packed.py). Gated by build_packed_infer(pallas=True)."""
+    from robocupvision_tpu.ops.pallas_packed import ChainStage
+
+    D = cfg.eff_depth
+
+    def pk(prefix, **kw):
+        return ChainStage(w=packed[prefix + ".w"], b=packed[prefix + ".b"],
+                          scale=packed[prefix + ".scale"],
+                          shift=packed[prefix + ".shift"], **kw)
+
+    # L2C1 is a plain (f==1) conv_block on the XLA path — fold its eval-mode
+    # BN to the same affine form for the chain
+    name = "downPart.Level2.layers.Conv1"
+    scale, shift = _fold_bn(np_params, name + ".bn")
+    l2c1 = ChainStage(w=jnp.asarray(np_params[name + ".conv.weight"], dtype),
+                      b=np_params[name + ".conv.bias"],
+                      scale=scale, shift=shift, rbb=True, emit=True)
+    down = [
+        pk("downPart.Level1.layers.Conv0.conv", rbb=True),
+        pk("downPart.Level1.layers.Conv1.conv", rbb=True, emit=True),
+        pk("downPart.Level2.layers.Conv0.conv", rbb=True),
+        l2c1,
+    ]
+    up = [
+        pk(f"upPart.Up{D - 3}.conv", rbb=False, skip_idx=0),
+        pk(f"upPart.Up{D - 2}.conv", rbb=False, skip_idx=1),
+        ChainStage(w=packed["segmenter.layers.Class.w"],
+                   b=packed["segmenter.layers.Class.b"], rbb=False),
+    ]
+    return {"down": down, "up": up, "interpret": interpret, "band": band}
+
+
 def build_packed_infer(model: Model, params: Params,
                        dtype: jnp.dtype = jnp.bfloat16,
-                       stem_group: int = 0) -> PackedInfer:
+                       stem_group: int = 0, pallas: bool = False,
+                       pallas_interpret: bool = False,
+                       pallas_band: Optional[int] = None) -> PackedInfer:
     """Compile a trained ROBO-UNet for TPU inference (exact rewrite).
 
     Supports the whole deployed ROBO-UNet family (reference model.py:461-536,
@@ -863,7 +941,14 @@ def build_packed_infer(model: Model, params: Params,
         + [plan.head]
     packed = _pack_blocks(np_params, all_blks, dtype)
     plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
-    return PackedInfer(cfg, plan, packed, plain, dtype)
+    chains = None
+    if pallas:
+        assert not cfg.pool and not cfg.v2 and cfg.levels == 2 \
+            and cfg.class_size == 1 and cfg.belly_size > 0, \
+            "pallas fused regions cover the flagship plan"
+        chains = _build_flagship_chains(cfg, packed, np_params, dtype,
+                                        pallas_interpret, pallas_band)
+    return PackedInfer(cfg, plan, packed, plain, dtype, chains)
 
 
 def build_packed_label_prop(model: Model, params: Params,

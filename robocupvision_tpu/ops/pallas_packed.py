@@ -1,0 +1,235 @@
+"""Pallas fused-region kernels for the lane-packed inference graph.
+
+Round-3 device profile of the packed VGA serving graph (PERF.md): of 378 us
+device time, ~205 us is 8 packed conv fusions each 2-4x off roofline and
+~115 us is relayout copies BETWEEN those fusions (XLA's conv emitter
+re-blocks every intermediate into its private 5-D tiled layout). The r2
+single-op Pallas conv lost to XLA (kernel-call overhead + no epilogue
+sharing), so this second attempt fuses a whole REGION instead:
+
+Every conv in the packed graph's top region is 3x3/s1/p1 (or 1x1) on the
+SAME (Hp, Wp, C<=128) grid — space-to-depth already folded the strides and
+resolution changes into the channel dimension. A region of N consecutive
+convs therefore runs as ONE kernel: the chain input stays resident in VMEM,
+each stage's output strip lives in VMEM scratch (with halo rows recomputed
+per band), and only the emitted feature maps (skip inputs for the up path,
+final logits) ever touch HBM. HBM traffic for the region drops from
+"every intermediate + relayout copies" to "input once + emitted outputs
+once", and the 9 static-tap MXU dots per stage see no layout copies at all.
+
+Used by models/packed.py (``build_packed_infer(..., pallas=True)``) for the
+flagship ROBO-UNet plan; per-pixel parity vs the XLA packed path is pinned
+by tests/test_pallas_packed.py (interpret mode on CPU, real kernels on TPU).
+
+The reference analog of this region is the C++ engine's fused
+conv-BN-ReLU pipeline over net.cfg (SURVEY §2.6) — this is its TPU form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainStage:
+    """One conv(+epilogue) stage of a fused region.
+
+    w: (K, K, Cin, Cout) kernel (K in {1, 3}), already packed/BN-folded.
+    b: (Cout,) bias (tiled across phases by the packer).
+    scale/shift: folded-BN affine (None for the bias-only head).
+    rbb: conv -> ReLU -> affine (the reference conv_block order) when True,
+         conv -> affine -> ReLU (ConvPoolSimple / up_tconv order) when False.
+    skip_idx: index into the chain's ``skips`` list added AFTER the epilogue
+              (the packed graph's additive skip), -1 for none.
+    emit: write this stage's (1, H, W, Cout) output to HBM (skip feature
+          maps for the up path; the final stage is always emitted).
+    """
+
+    w: Any
+    b: Any
+    scale: Any = None
+    shift: Any = None
+    rbb: bool = True
+    skip_idx: int = -1
+    emit: bool = False
+
+    @property
+    def k(self) -> int:
+        return int(self.w.shape[0])
+
+
+def _halo_depths(stages: Sequence[ChainStage]) -> List[int]:
+    """d[k]: extra rows stage k must produce so later 3x3 stages see halos."""
+    d = [0] * len(stages)
+    for k in range(len(stages) - 2, -1, -1):
+        d[k] = d[k + 1] + (1 if stages[k + 1].k == 3 else 0)
+    return d
+
+
+def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
+                  n_skips: int, band: int, H: int, W: int, x_pad: int):
+    """One (batch, row-band) cell of the fused chain. refs order: x,
+    skips..., per-stage params (w, b[, scale, shift]), emitted outputs...,
+    per-stage scratch (all but the last stage)."""
+    i = pl.program_id(1)
+    off = i * band
+
+    x_ref = refs[0]
+    skip_refs = refs[1:1 + n_skips]
+    pos = 1 + n_skips
+    stage_params = []
+    for st in stages:
+        if st.scale is not None:
+            stage_params.append(refs[pos:pos + 4])
+            pos += 4
+        else:
+            stage_params.append(refs[pos:pos + 2])
+            pos += 2
+    out_refs = refs[pos:pos + sum(1 for s in stages if s.emit)]
+    scratch_refs = refs[pos + len(out_refs):]
+
+    maxd = depths[0] + stages[0].k // 2
+    out_i = 0
+    prev_scratch = None
+    prev_d = None
+    for k, st in enumerate(stages):
+        prms = stage_params[k]
+        w_ref, b_ref = prms[0], prms[1]
+        d = depths[k]
+        strip = band + 2 * d
+        K = st.k
+        cout = int(w_ref.shape[3])
+
+        acc = None
+        for dy in range(K):
+            for dx in range(K):
+                rel = dy - K // 2
+                if k == 0:
+                    # x buffer row = global row + x_pad; col = col + K//2
+                    xs = x_ref[0, pl.ds(off - d + rel + x_pad, strip),
+                               pl.ds(dx, W), :]
+                else:
+                    # prev scratch stores its strip at row offset 1, col 1
+                    delta = prev_d - d
+                    xs = prev_scratch[pl.ds(delta + rel + 1, strip),
+                                      pl.ds(dx - K // 2 + 1, W), :]
+                t = jax.lax.dot_general(
+                    xs, w_ref[dy, dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+        y = acc + b_ref[0].astype(jnp.float32)
+        if st.scale is not None:
+            scale = prms[2][0].astype(jnp.float32)
+            shift = prms[3][0].astype(jnp.float32)
+            if st.rbb:
+                y = jnp.maximum(y, 0.0) * scale + shift
+            else:
+                y = jnp.maximum(y * scale + shift, 0.0)
+        if st.skip_idx >= 0:
+            sk = skip_refs[st.skip_idx][0, pl.ds(off - d + maxd, strip), :, :]
+            y = y + sk.astype(jnp.float32)
+
+        # rows outside the image must be ZERO (they are conv padding for the
+        # next stage), not the garbage the halo recompute produced there
+        g = off - d + jax.lax.broadcasted_iota(jnp.int32, (strip, 1, 1), 0)
+        y = jnp.where((g >= 0) & (g < H), y, 0.0)
+
+        if st.emit:
+            out_refs[out_i][0] = y[d:d + band].astype(out_refs[out_i].dtype)
+            out_i += 1
+        if k + 1 < len(stages):
+            sref = scratch_refs[k]
+            sref[pl.ds(1, strip), pl.ds(1, W), :] = y.astype(sref.dtype)
+            # zero the column borders the next stage's dx taps read
+            # (scratch is uninitialized; row borders are never read)
+            zc = jnp.zeros((strip + 2, 1, cout), sref.dtype)
+            sref[:, pl.ds(0, 1), :] = zc
+            sref[:, pl.ds(W + 1, 1), :] = zc
+            prev_scratch, prev_d = sref, d
+
+
+def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
+                     skips: Sequence[jax.Array] = (),
+                     band: Optional[int] = None,
+                     interpret: bool = False) -> List[jax.Array]:
+    """Run a fused chain of conv3x3(s1,p1)/conv1x1 (+epilogue, +skip) stages.
+
+    x: (1, H, W, C0). Returns the emitted outputs, in stage order (the last
+    stage is emitted implicitly). All chain-internal activations stay in
+    VMEM; HBM sees x + skips once and the emitted outputs once.
+    """
+    stages = list(stages)
+    if not stages[-1].emit:
+        stages[-1] = dataclasses.replace(stages[-1], emit=True)
+    n, H, W, c0 = x.shape
+    depths = _halo_depths(stages)
+    if band is None:
+        band = H if H <= 32 else next(
+            b for b in (24, 20, 30, 40, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1)
+            if H % b == 0)
+    assert H % band == 0, (H, band)
+    maxd = depths[0] + stages[0].k // 2
+    dtype = x.dtype
+
+    xp = jnp.pad(x, ((0, 0), (maxd, maxd), (stages[0].k // 2,) * 2, (0, 0)))
+    skips_p = [jnp.pad(s, ((0, 0), (maxd, maxd), (0, 0), (0, 0)))
+               for s in skips]
+
+    def whole(shape):  # one batch row resident in VMEM, indexed by b
+        return pl.BlockSpec((1,) + tuple(shape[1:]), lambda b, i: (b, 0, 0, 0))
+
+    def const(shape):  # replicated parameter block
+        nd = len(shape)
+        return pl.BlockSpec(tuple(shape), lambda b, i: (0,) * nd)
+
+    operands = [xp] + skips_p
+    in_specs = [whole(xp.shape)] + [whole(s.shape) for s in skips_p]
+    for st in stages:
+        cout = int(st.w.shape[3])
+        operands += [jnp.asarray(st.w, dtype),
+                     jnp.asarray(st.b, jnp.float32).reshape(1, cout)]
+        in_specs += [const(st.w.shape), const((1, cout))]
+        if st.scale is not None:
+            operands += [jnp.asarray(st.scale, jnp.float32).reshape(1, cout),
+                         jnp.asarray(st.shift, jnp.float32).reshape(1, cout)]
+            in_specs += [const((1, cout))] * 2
+
+    out_shapes = [jax.ShapeDtypeStruct((n, H, W, int(st.w.shape[3])), dtype)
+                  for st in stages if st.emit]
+    out_specs = [pl.BlockSpec((1, band, W, s.shape[3]),
+                              lambda b, i: (b, i, 0, 0)) for s in out_shapes]
+
+    scratch_shapes = [
+        pltpu_vmem((band + 2 * depths[k] + 2, W + 2, int(st.w.shape[3])),
+                   dtype)
+        for k, st in enumerate(stages[:-1])]
+
+    kernel = functools.partial(
+        _chain_kernel, stages=tuple(stages), depths=tuple(depths),
+        n_skips=len(skips_p), band=band, H=H, W=W, x_pad=maxd)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n, H // band),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*operands)
+    return list(outs) if isinstance(outs, (tuple, list)) else [outs]
+
+
+def pltpu_vmem(shape, dtype):
+    """VMEM scratch allocation that degrades to interpret-compatible form."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.VMEM(shape, dtype)

@@ -1,0 +1,85 @@
+"""Per-pixel parity of the Pallas fused-region packed graph
+(build_packed_infer(pallas=True), ops/pallas_packed.py) against the XLA
+packed path — which is itself pinned per-pixel against the canonical zoo
+apply by tests/test_packed_infer.py. Interpret mode on CPU; the same code
+compiles to real Mosaic kernels on TPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robocupvision_tpu.models import packed, zoo
+
+
+def _build(no_scale, seed=0, **kw):
+    model = zoo.make("robo_unet", no_scale=no_scale, **kw)
+    params = model.init(jax.random.PRNGKey(seed))
+    return model, params
+
+
+@pytest.mark.parametrize("no_scale,hw", [
+    (False, (120, 160)),   # QVGA flagship (packed grid 30x40, one band)
+    (True, (480, 640)),    # VGA flagship (packed grid 120x160, banded)
+])
+def test_pallas_chain_matches_xla_packed_f32(no_scale, hw):
+    model, params = _build(no_scale)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, *hw, 3), jnp.float32)
+
+    base = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True)
+    ref = np.asarray(base.logits(x))
+    got = np.asarray(fused.logits(x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    # label maps identical
+    np.testing.assert_array_equal(np.asarray(fused.infer(x)),
+                                  np.asarray(base.infer(x)))
+
+
+def test_pallas_chain_matches_zoo_apply_f32():
+    """End-to-end: fused graph vs the canonical apply (the ground truth the
+    packed graph itself is pinned to)."""
+    model, params = _build(False)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 120, 160, 3), jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True)
+    ref_logits, _ = model.apply(params, x)
+    got = np.asarray(fused.logits(x))
+    np.testing.assert_allclose(got, np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_chain_batched():
+    """The fused kernels grid over batch as well (serving throughput mode)."""
+    model, params = _build(False)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 120, 160, 3), jnp.float32)
+    base = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused.infer(x)),
+                                  np.asarray(base.infer(x)))
+
+
+def test_pallas_chain_bf16_label_agreement():
+    """bf16 (the serving dtype): logits within bf16 tolerance and label maps
+    in near-total agreement (ties under 1-ulp logit differences allowed)."""
+    model, params = _build(False)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 120, 160, 3), jnp.float32)
+    base = packed.build_packed_infer(model, params, dtype=jnp.bfloat16)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.bfloat16,
+                                      pallas=True, pallas_interpret=True)
+    lb = np.asarray(base.logits(x)).astype(np.float32)
+    lf = np.asarray(fused.logits(x)).astype(np.float32)
+    np.testing.assert_allclose(lf, lb, rtol=0.05, atol=0.05)
+    agree = np.mean(np.asarray(fused.infer(x)) == np.asarray(base.infer(x)))
+    assert agree > 0.999, agree
+
+
+def test_pallas_gate_rejects_unsupported_plans():
+    model, params = _build(False, v2=True, levels=1, belly_size=9,
+                           belly_planes=128, class_size=3)
+    with pytest.raises(AssertionError):
+        packed.build_packed_infer(model, params, pallas=True)
