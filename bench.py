@@ -152,6 +152,19 @@ def bench_vga_inference():
                                         iters=150)
         _emit(out)
 
+    # Pallas fused-region variant of the headline graph (the r4 experiment:
+    # ops/pallas_packed.py runs the packed top region as two VMEM-resident
+    # chain kernels instead of separate XLA conv fusions + relayout copies)
+    if _left() > 60:
+        try:
+            pip = packed.build_packed_infer(model, params,
+                                            dtype=jnp.bfloat16, pallas=True)
+            out["fps_packed_bf16_b1_pallas_fused"] = \
+                1.0 / _time(jax.jit(pip.infer), x1, iters=600)
+        except Exception as e:  # measured-negative must not kill the stage
+            out["pallas_fused_error"] = repr(e)[:200]
+        _emit(out)
+
     # QVGA flagship (tester.py's DEFAULT working resolution, scale=4)
     if _left() > 60:
         mq = zoo.make("robo_unet")
@@ -268,6 +281,51 @@ def bench_vga_inference():
     return out
 
 
+def _device_trace_steps_per_sec(step_fn, state, steps: int):
+    """Ground-truth cross-check for the train rate (PERF.md: wall-clock over
+    the axon tunnel carries RTT/dispatch noise; device traces are truth).
+    Runs ``steps`` under jax.profiler.trace and derives steps/s from the
+    device track's busy span. Returns None if tracing/parsing fails —
+    the wall number still stands alone in that case."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                s = state
+                for i in range(steps):
+                    s, m = step_fn(i, s)
+                float(m["loss"])
+            files = glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                              recursive=True)
+            if not files:
+                return None
+            with gzip.open(files[0], "rt") as f:
+                trace = json.load(f)
+        ev = trace.get("traceEvents", [])
+        pid_names = {e["pid"]: str(e.get("args", {}).get("name", ""))
+                     for e in ev
+                     if e.get("ph") == "M" and e.get("name") == "process_name"}
+        dev_pids = {p for p, nm in pid_names.items()
+                    if ("TPU" in nm or "/device" in nm) and
+                    "host" not in nm.lower()}
+        spans = [(e["ts"], e["ts"] + e.get("dur", 0.0)) for e in ev
+                 if e.get("ph") == "X" and e.get("pid") in dev_pids]
+        if len(spans) < steps:
+            return None
+        t0 = min(a for a, _ in spans)
+        t1 = max(b for _, b in spans)
+        if t1 <= t0:
+            return None
+        return steps / ((t1 - t0) / 1e6)
+    except Exception:
+        return None
+
+
 def bench_train_steps():
     import dataclasses
 
@@ -289,7 +347,7 @@ def bench_train_steps():
     # can stall for minutes (one-time); get it out of the timed region.
     jax.device_get(jnp.zeros(1))
 
-    def measure(cfg):
+    def measure(cfg, spread_out=None, devtrace_out=None):
         train_step = tstep.make_train_step(model, tx, cfg)
         state = tstep.init_state(model, tx, jax.random.PRNGKey(0))
         state, out = train_step(state, imgs, targets, mask,
@@ -300,10 +358,11 @@ def bench_train_steps():
                                 jax.random.PRNGKey(2), lr, None)
         float(out["loss"])
         per_step = time.perf_counter() - t0
-        # ~1 s windows at chip-speed steps (see the window-sizing note in
-        # bench_vga_inference): the sync fetch and dispatch jitter then
-        # cost <5% instead of ~10-30%
-        iters = 100 if per_step * 100 <= 8.0 else max(3, int(8.0 / per_step))
+        # window sizing (PERF.md #6b, extended to train in r4): each timed
+        # window targets ~2-3 s so the one sync fetch (~29 ms tunnel RTT)
+        # and dispatch jitter cost <2%; r3's ~1 s windows left a 2x
+        # run-to-run spread on the headline train number
+        iters = max(3, min(300, int(2.5 / max(per_step, 1e-4))))
 
         def once():
             nonlocal state
@@ -317,7 +376,20 @@ def bench_train_steps():
             float(m["loss"])
             return iters / (time.perf_counter() - t0)
 
-        return sorted(once() for _ in range(3))[1]
+        rates = sorted(once() for _ in range(3))
+        if spread_out is not None:
+            # pinning evidence: the three windows' relative spread
+            spread_out.append(100.0 * (rates[-1] - rates[0]) / rates[1])
+        if devtrace_out is not None:
+            dev = _device_trace_steps_per_sec(
+                lambda i, s: train_step(s, imgs, targets, mask,
+                                        jax.random.fold_in(
+                                            jax.random.PRNGKey(4), i),
+                                        lr, None),
+                state, steps=min(iters, 50))
+            if dev:
+                devtrace_out.append(dev)
+        return rates[1]
 
     base = dict(num_classes=5, class_weights=(1, 10, 30, 10, 2),
                 l1_decay=1e-6, out_size=1.0 / (120 * 160))
@@ -325,7 +397,12 @@ def bench_train_steps():
     # ordered by importance: bf16 is the production default; f32 anchors the
     # torch-CPU comparison; remat/packed are opt-in variants
     cfg16 = tstep.StepCfg(compute_dtype="bfloat16", **base)
-    out["bfloat16"] = measure(cfg16)
+    spread, dev = [], []
+    out["bfloat16"] = measure(cfg16, spread_out=spread, devtrace_out=dev)
+    if spread:  # pinning evidence (VERDICT r3 #5): window agreement + trace
+        out["train_bf16_window_spread_pct"] = spread[0]
+    if dev:
+        out["train_steps_per_sec_b64_qvga_bf16_devtrace"] = dev[0]
     _emit(out)
     if _left() > 90:
         out["float32"] = measure(tstep.StepCfg(compute_dtype="float32", **base))
@@ -336,7 +413,8 @@ def bench_train_steps():
     if _left() > 90:
         out["bfloat16_packed"] = measure(dataclasses.replace(cfg16, packed=True))
         _emit(out)
-    out["best"] = max(v for k, v in out.items() if k != "best")
+    rate_keys = ("bfloat16", "float32", "bfloat16_remat", "bfloat16_packed")
+    out["best"] = max(v for k, v in out.items() if k in rate_keys)
     _emit(out)
     return out
 
