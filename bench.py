@@ -164,6 +164,16 @@ def bench_vga_inference():
         except Exception as e:  # measured-negative must not kill the stage
             out["pallas_fused_error"] = repr(e)[:200]
         _emit(out)
+    if _left() > 60:
+        try:  # ablation: also fold the stem conv into the down chain
+            pis = packed.build_packed_infer(model, params,
+                                            dtype=jnp.bfloat16, pallas=True,
+                                            pallas_fold_stem=True)
+            out["fps_packed_bf16_b1_pallas_fused_stem"] = \
+                1.0 / _time(jax.jit(pis.infer), x1, iters=600)
+        except Exception as e:
+            out["pallas_fused_stem_error"] = repr(e)[:200]
+        _emit(out)
 
     # QVGA flagship (tester.py's DEFAULT working resolution, scale=4)
     if _left() > 60:

@@ -488,11 +488,18 @@ class PackedInfer(_PackedBase):
         ch = self.chains
         mut: Params = {}
         h = x.astype(self.dtype)
-        for blk in plan.downs[0]:
-            h = self._blk(blk, h, mut)     # stem (XLA conv)
-        feats = {0: h}
-        feats[1], feats[2] = ppk.fused_conv_chain(
-            h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+        feats = {}
+        if ch["fold_stem"]:
+            # the chain consumes the RAW image; stage 0 is the grouped
+            # space-to-depth stem kernel and emits feats0 itself
+            feats[0], feats[1], feats[2] = ppk.fused_conv_chain(
+                h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+        else:
+            for blk in plan.downs[0]:
+                h = self._blk(blk, h, mut)     # stem (XLA conv)
+            feats[0] = h
+            feats[1], feats[2] = ppk.fused_conv_chain(
+                h, ch["down"], interpret=ch["interpret"], band=ch["band"])
         h = feats[2]
         D = len(plan.downs)
         for lvl in range(3, D):
@@ -872,9 +879,13 @@ def _pack_blocks(np_params: Params, blks, dtype) -> Params:
 
 def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
                            np_params: Params, dtype,
-                           interpret: bool, band) -> dict:
+                           interpret: bool, band,
+                           fold_stem: bool = False) -> dict:
     """ChainStage lists for the flagship plan's two Pallas fused regions
-    (ops/pallas_packed.py). Gated by build_packed_infer(pallas=True)."""
+    (ops/pallas_packed.py). Gated by build_packed_infer(pallas=True).
+    ``fold_stem``: start the down chain at the RAW image with the grouped
+    space-to-depth stem kernel as stage 0 (the chain then emits feats0
+    itself and the XLA stem conv disappears entirely)."""
     from robocupvision_tpu.ops.pallas_packed import ChainStage
 
     D = cfg.eff_depth
@@ -897,20 +908,25 @@ def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
         pk("downPart.Level2.layers.Conv0.conv", rbb=True),
         l2c1,
     ]
+    if fold_stem:
+        down.insert(0, pk("downPart.Level0.layers.Conv0.conv", rbb=True,
+                          emit=True, stem_f=4))
     up = [
         pk(f"upPart.Up{D - 3}.conv", rbb=False, skip_idx=0),
         pk(f"upPart.Up{D - 2}.conv", rbb=False, skip_idx=1),
         ChainStage(w=packed["segmenter.layers.Class.w"],
                    b=packed["segmenter.layers.Class.b"], rbb=False),
     ]
-    return {"down": down, "up": up, "interpret": interpret, "band": band}
+    return {"down": down, "up": up, "interpret": interpret, "band": band,
+            "fold_stem": fold_stem}
 
 
 def build_packed_infer(model: Model, params: Params,
                        dtype: jnp.dtype = jnp.bfloat16,
                        stem_group: int = 0, pallas: bool = False,
                        pallas_interpret: bool = False,
-                       pallas_band: Optional[int] = None) -> PackedInfer:
+                       pallas_band: Optional[int] = None,
+                       pallas_fold_stem: bool = False) -> PackedInfer:
     """Compile a trained ROBO-UNet for TPU inference (exact rewrite).
 
     Supports the whole deployed ROBO-UNet family (reference model.py:461-536,
@@ -946,8 +962,11 @@ def build_packed_infer(model: Model, params: Params,
         assert not cfg.pool and not cfg.v2 and cfg.levels == 2 \
             and cfg.class_size == 1 and cfg.belly_size > 0, \
             "pallas fused regions cover the flagship plan"
+        assert not (pallas_fold_stem and stem_group not in (0, 4)), \
+            "the folded stem uses the group == f kernel"
         chains = _build_flagship_chains(cfg, packed, np_params, dtype,
-                                        pallas_interpret, pallas_band)
+                                        pallas_interpret, pallas_band,
+                                        pallas_fold_stem)
     return PackedInfer(cfg, plan, packed, plain, dtype, chains)
 
 

@@ -60,6 +60,12 @@ class ChainStage:
     rbb: bool = True
     skip_idx: int = -1
     emit: bool = False
+    # stem stage (first stage only): the raw image's space-to-depth(f) is
+    # folded into this (f+2, 3, f*cin, f^2*cout) grouped kernel
+    # (models/packed.py pack_stem_weight_grouped with group == f); the chain
+    # input is then the RAW (N, H*f, W*f, cin) image, pre-split into f
+    # row-phase buffers so every tap is a static-phase strided row read
+    stem_f: int = 0
 
     @property
     def k(self) -> int:
@@ -75,16 +81,21 @@ def _halo_depths(stages: Sequence[ChainStage]) -> List[int]:
 
 
 def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
-                  n_skips: int, band: int, H: int, W: int, x_pad: int):
-    """One (batch, row-band) cell of the fused chain. refs order: x,
-    skips..., per-stage params (w, b[, scale, shift]), emitted outputs...,
-    per-stage scratch (all but the last stage)."""
+                  n_skips: int, band: int, H: int, W: int, x_pad: int,
+                  skip_pad: int):
+    """One (batch, row-band) cell of the fused chain. refs order: x (or f
+    row-phase buffers for a stem chain), skips..., per-stage params
+    (w, b[, scale, shift]), emitted outputs..., per-stage scratch (all but
+    the last stage)."""
     i = pl.program_id(1)
     off = i * band
 
-    x_ref = refs[0]
-    skip_refs = refs[1:1 + n_skips]
-    pos = 1 + n_skips
+    stem_f = stages[0].stem_f
+    n_x = stem_f if stem_f else 1
+    x_refs = refs[:n_x]
+    x_ref = x_refs[0]
+    skip_refs = refs[n_x:n_x + n_skips]
+    pos = n_x + n_skips
     stage_params = []
     for st in stages:
         if st.scale is not None:
@@ -96,7 +107,6 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
     out_refs = refs[pos:pos + sum(1 for s in stages if s.emit)]
     scratch_refs = refs[pos + len(out_refs):]
 
-    maxd = depths[0] + stages[0].k // 2
     out_i = 0
     prev_scratch = None
     prev_d = None
@@ -109,23 +119,39 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
         cout = int(w_ref.shape[3])
 
         acc = None
-        for dy in range(K):
-            for dx in range(K):
-                rel = dy - K // 2
-                if k == 0:
-                    # x buffer row = global row + x_pad; col = col + K//2
-                    xs = x_ref[0, pl.ds(off - d + rel + x_pad, strip),
-                               pl.ds(dx, W), :]
-                else:
-                    # prev scratch stores its strip at row offset 1, col 1
-                    delta = prev_d - d
-                    xs = prev_scratch[pl.ds(delta + rel + 1, strip),
-                                      pl.ds(dx - K // 2 + 1, W), :]
-                t = jax.lax.dot_general(
-                    xs, w_ref[dy, dx],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc = t if acc is None else acc + t
+        if k == 0 and stem_f:
+            # stem: 3 group-column taps x (f+2) pixel-row taps; pixel row
+            # f*j + (dy-1) lives in phase buffer (dy-1) % f at block-row
+            # offset (dy-1) // f
+            for dy in range(stem_f + 2):
+                p = (dy - 1) % stem_f
+                bo = (dy - 1) // stem_f
+                for dx in range(3):
+                    xs = x_refs[p][0, pl.ds(off - d + bo + x_pad, strip),
+                                   pl.ds(dx, W), :]
+                    t = jax.lax.dot_general(
+                        xs, w_ref[dy, dx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = t if acc is None else acc + t
+        else:
+            for dy in range(K):
+                for dx in range(K):
+                    rel = dy - K // 2
+                    if k == 0:
+                        # x buffer row = global row + x_pad; col = col + K//2
+                        xs = x_ref[0, pl.ds(off - d + rel + x_pad, strip),
+                                   pl.ds(dx, W), :]
+                    else:
+                        # prev scratch stores its strip at row offset 1, col 1
+                        delta = prev_d - d
+                        xs = prev_scratch[pl.ds(delta + rel + 1, strip),
+                                          pl.ds(dx - K // 2 + 1, W), :]
+                    t = jax.lax.dot_general(
+                        xs, w_ref[dy, dx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = t if acc is None else acc + t
         y = acc + b_ref[0].astype(jnp.float32)
         if st.scale is not None:
             scale = prms[2][0].astype(jnp.float32)
@@ -135,7 +161,8 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
             else:
                 y = jnp.maximum(y * scale + shift, 0.0)
         if st.skip_idx >= 0:
-            sk = skip_refs[st.skip_idx][0, pl.ds(off - d + maxd, strip), :, :]
+            sk = skip_refs[st.skip_idx][0, pl.ds(off - d + skip_pad, strip),
+                                        :, :]
             y = y + sk.astype(jnp.float32)
 
         # rows outside the image must be ZERO (they are conv padding for the
@@ -170,18 +197,37 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
     stages = list(stages)
     if not stages[-1].emit:
         stages[-1] = dataclasses.replace(stages[-1], emit=True)
-    n, H, W, c0 = x.shape
     depths = _halo_depths(stages)
+    stem_f = stages[0].stem_f
+    n = x.shape[0]
+    if stem_f:
+        # raw (N, H*f, W*f, cin) image in; the chain runs on the packed grid
+        f = stem_f
+        H, W = x.shape[1] // f, x.shape[2] // f
+        c_in = x.shape[3]
+        x_pad = depths[0] + 1  # block rows
+        skip_pad = depths[0] + (f + 2) // 2
+    else:
+        H, W = x.shape[1], x.shape[2]
+        x_pad = skip_pad = depths[0] + stages[0].k // 2
     if band is None:
         band = H if H <= 32 else next(
             b for b in (24, 20, 30, 40, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1)
             if H % b == 0)
     assert H % band == 0, (H, band)
-    maxd = depths[0] + stages[0].k // 2
     dtype = x.dtype
 
-    xp = jnp.pad(x, ((0, 0), (maxd, maxd), (stages[0].k // 2,) * 2, (0, 0)))
-    skips_p = [jnp.pad(s, ((0, 0), (maxd, maxd), (0, 0), (0, 0)))
+    if stem_f:
+        # split the grouped view into f row-phase buffers: phase p holds
+        # pixel rows f*j + p, so each stem tap is a static-phase read
+        xg = x.reshape(n, H * f, W, f * c_in)
+        xg = jnp.pad(xg, ((0, 0), (f * x_pad,) * 2, (1, 1), (0, 0)))
+        xg = xg.reshape(n, H + 2 * x_pad, f, W + 2, f * c_in)
+        x_bufs = [xg[:, :, p] for p in range(f)]
+    else:
+        x_bufs = [jnp.pad(x, ((0, 0), (x_pad, x_pad),
+                              (stages[0].k // 2,) * 2, (0, 0)))]
+    skips_p = [jnp.pad(s, ((0, 0), (skip_pad, skip_pad), (0, 0), (0, 0)))
                for s in skips]
 
     def whole(shape):  # one batch row resident in VMEM, indexed by b
@@ -191,8 +237,9 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
         nd = len(shape)
         return pl.BlockSpec(tuple(shape), lambda b, i: (0,) * nd)
 
-    operands = [xp] + skips_p
-    in_specs = [whole(xp.shape)] + [whole(s.shape) for s in skips_p]
+    operands = list(x_bufs) + skips_p
+    in_specs = [whole(xb.shape) for xb in x_bufs] \
+        + [whole(s.shape) for s in skips_p]
     for st in stages:
         cout = int(st.w.shape[3])
         operands += [jnp.asarray(st.w, dtype),
@@ -215,7 +262,8 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
 
     kernel = functools.partial(
         _chain_kernel, stages=tuple(stages), depths=tuple(depths),
-        n_skips=len(skips_p), band=band, H=H, W=W, x_pad=maxd)
+        n_skips=len(skips_p), band=band, H=H, W=W, x_pad=x_pad,
+        skip_pad=skip_pad)
     outs = pl.pallas_call(
         kernel,
         grid=(n, H // band),

@@ -19,6 +19,21 @@ def _build(no_scale, seed=0, **kw):
     return model, params
 
 
+def _assert_labels_match(fused, base, x, max_mismatch=2e-5):
+    """Label maps must agree except at argmax TIES: float reassociation can
+    flip pixels whose top-2 logits differ by ~1 ulp (observed: 1/307200)."""
+    lf = np.asarray(fused.infer(x))
+    lb = np.asarray(base.infer(x))
+    mism = lf != lb
+    frac = float(np.mean(mism))
+    assert frac <= max_mismatch, frac
+    if frac:
+        logits = np.asarray(base.logits(x)).astype(np.float32)
+        gaps = np.abs(np.take_along_axis(logits, lf[..., None], -1)
+                      - np.take_along_axis(logits, lb[..., None], -1))[mism[..., None]]
+        assert np.max(gaps) < 1e-4, np.max(gaps)
+
+
 @pytest.mark.parametrize("no_scale,hw", [
     (False, (120, 160)),   # QVGA flagship (packed grid 30x40, one band)
     (True, (480, 640)),    # VGA flagship (packed grid 120x160, banded)
@@ -34,9 +49,7 @@ def test_pallas_chain_matches_xla_packed_f32(no_scale, hw):
     got = np.asarray(fused.logits(x))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
-    # label maps identical
-    np.testing.assert_array_equal(np.asarray(fused.infer(x)),
-                                  np.asarray(base.infer(x)))
+    _assert_labels_match(fused, base, x)
 
 
 def test_pallas_chain_matches_zoo_apply_f32():
@@ -59,8 +72,7 @@ def test_pallas_chain_batched():
     base = packed.build_packed_infer(model, params, dtype=jnp.float32)
     fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
                                       pallas=True, pallas_interpret=True)
-    np.testing.assert_array_equal(np.asarray(fused.infer(x)),
-                                  np.asarray(base.infer(x)))
+    _assert_labels_match(fused, base, x)
 
 
 def test_pallas_chain_bf16_label_agreement():
@@ -83,3 +95,22 @@ def test_pallas_gate_rejects_unsupported_plans():
                            belly_planes=128, class_size=3)
     with pytest.raises(AssertionError):
         packed.build_packed_infer(model, params, pallas=True)
+
+
+@pytest.mark.parametrize("no_scale,hw", [
+    (False, (120, 160)),
+    (True, (480, 640)),
+])
+def test_pallas_chain_fold_stem_matches_xla_packed_f32(no_scale, hw):
+    """fold_stem variant: the chain starts at the RAW image with the grouped
+    space-to-depth stem kernel as stage 0 (no XLA stem conv at all)."""
+    model, params = _build(no_scale)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, *hw, 3), jnp.float32)
+    base = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True,
+                                      pallas_fold_stem=True)
+    np.testing.assert_allclose(np.asarray(fused.logits(x)),
+                               np.asarray(base.logits(x)),
+                               rtol=2e-4, atol=2e-4)
+    _assert_labels_match(fused, base, x)
