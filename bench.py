@@ -154,8 +154,11 @@ def bench_vga_inference():
 
     # Pallas fused-region variant of the headline graph (the r4 experiment:
     # ops/pallas_packed.py runs the packed top region as two VMEM-resident
-    # chain kernels instead of separate XLA conv fusions + relayout copies)
-    if _left() > 60:
+    # chain kernels instead of separate XLA conv fusions + relayout copies).
+    # Real-kernel path only: on a CPU dry run these would need interpret
+    # mode, which measures the interpreter, not the kernel.
+    on_tpu = jax.default_backend() == "tpu"
+    if _left() > 60 and on_tpu:
         try:
             pip = packed.build_packed_infer(model, params,
                                             dtype=jnp.bfloat16, pallas=True)
@@ -164,7 +167,7 @@ def bench_vga_inference():
         except Exception as e:  # measured-negative must not kill the stage
             out["pallas_fused_error"] = repr(e)[:200]
         _emit(out)
-    if _left() > 60:
+    if _left() > 60 and on_tpu:
         try:  # ablation: also fold the stem conv into the down chain
             pis = packed.build_packed_infer(model, params,
                                             dtype=jnp.bfloat16, pallas=True,
@@ -197,6 +200,16 @@ def bench_vga_inference():
         out["fps_label_prop_packed_qvga_b1"] = \
             1.0 / _time(jax.jit(lp.infer), xlp, iters=800)
         _emit(out)
+        if _left() > 60 and on_tpu:
+            try:  # Pallas fused-chain head-to-head (same graph)
+                lpp = packed.build_packed_label_prop(
+                    lp_model, lp_params, jnp.bfloat16, pallas=True,
+                    pallas_fold_stem=True)
+                out["fps_label_prop_packed_qvga_b1_pallas"] = \
+                    1.0 / _time(jax.jit(lpp.infer), xlp, iters=800)
+            except Exception as e:
+                out["label_prop_pallas_error"] = repr(e)[:200]
+            _emit(out)
 
     # LAST: serving-loop rates. These do bulk device->host label fetches,
     # which permanently degrade this process's subsequent per-dispatch

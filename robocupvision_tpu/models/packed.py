@@ -531,26 +531,47 @@ class PackedLabelPropInfer(_PackedBase):
     dtype: jnp.dtype
     stem_group: int = 4    # wider groups measured slower on v5e (see
                            # pack_stem_weight_grouped docstring)
+    chains: Optional[dict] = None   # Pallas fused regions (pallas=True)
 
     def _logits_packed(self, x: jax.Array) -> jax.Array:
         p = self.plain
         mut: Params = {}
         h = x.astype(self.dtype)
+        ch = self.chains
 
         def cps(name, x, stride, padding, dilation):
             return L.conv_pool_simple(p, mut, name, x, stride, padding,
                                       dilation, False)
 
-        top = self._blk(_Blk("stem", "pre", 4, 4, rbb=False,
-                             group=self.stem_group), h, mut)
-        middle = self._blk(_Blk("pconv", "down1", 4, 2, stride=2, rbb=False),
-                           top, mut)
-        bottom = self._blk(_Blk("pconv", "down2", 2, 1, stride=2, rbb=False),
-                           middle, mut)
+        if ch is not None and ch["fold_stem"]:
+            from robocupvision_tpu.ops import pallas_packed as ppk
+
+            top, middle, bottom = ppk.fused_conv_chain(
+                h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+        else:
+            top = self._blk(_Blk("stem", "pre", 4, 4, rbb=False,
+                                 group=self.stem_group), h, mut)
+            if ch is not None:
+                from robocupvision_tpu.ops import pallas_packed as ppk
+
+                middle, bottom = ppk.fused_conv_chain(
+                    top, ch["down"], interpret=ch["interpret"],
+                    band=ch["band"])
+            else:
+                middle = self._blk(_Blk("pconv", "down1", 4, 2, stride=2,
+                                        rbb=False), top, mut)
+                bottom = self._blk(_Blk("pconv", "down2", 2, 1, stride=2,
+                                        rbb=False), middle, mut)
         h = cps("down3", bottom, 2, 1, 1)
         h = cps("conv3", cps("conv2", cps("conv1", h, 1, 2, 2), 1, 2, 2),
                 1, 2, 2)
         h = bottom + L.up_tconv(p, mut, "upConv1", h, False)
+        if ch is not None:
+            from robocupvision_tpu.ops import pallas_packed as ppk
+
+            return ppk.fused_conv_chain(h, ch["up"], skips=[middle, top],
+                                        interpret=ch["interpret"],
+                                        band=ch["band"])[-1]
         h = middle + self._blk(_Blk("ptconv", "upConv2", 1, 2, rbb=False),
                                h, mut)
         h = self._blk(_Blk("ptconv", "upConv3", 2, 4, rbb=False), h, mut)
@@ -595,17 +616,25 @@ class PackedPBFCNInfer(_PackedBase):
     packed: Params
     plain: Params
     dtype: jnp.dtype
+    chains: Optional[dict] = None   # Pallas fused regions (pallas=True)
 
     def _logits_packed(self, x: jax.Array) -> jax.Array:
         cfg, p = self.cfg, self.plain
+        ch = self.chains
         mut: Params = {}
         blks = {b.kind + ":" + b.name: b for b in _pb_fcn_blks(cfg)}
         h = space_to_depth(x.astype(self.dtype), 4)
 
-        x0 = self._blk(blks["pconv:FCN.conv0"], h, mut)
-        x1 = self._blk(blks["pconv:FCN.conv1"], x0, mut)
-        hh = self._blk(blks["pconv_nr:FCN.conv2"], x1, mut)
-        x2 = self._blk(blks["pconv:FCN.conv2"], hh, mut)
+        if ch is not None:
+            from robocupvision_tpu.ops import pallas_packed as ppk
+
+            x0, x1, x2 = ppk.fused_conv_chain(
+                h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+        else:
+            x0 = self._blk(blks["pconv:FCN.conv0"], h, mut)
+            x1 = self._blk(blks["pconv:FCN.conv1"], x0, mut)
+            hh = self._blk(blks["pconv_nr:FCN.conv2"], x1, mut)
+            x2 = self._blk(blks["pconv:FCN.conv2"], hh, mut)
 
         def cps(name, x, stride, padding, dilation):
             return L.conv_pool_simple(p, mut, name, x, stride, padding,
@@ -625,6 +654,15 @@ class PackedPBFCNInfer(_PackedBase):
 
         up = feats[-1]
         n_up = len(feats) - 1
+        if ch is not None:
+            from robocupvision_tpu.ops import pallas_packed as ppk
+
+            for j in range(n_up - 2):  # f==1 ups stay on the plain path
+                up = self._blk(blks[f"ptconv:up{j + 1}"], up, mut) \
+                    + feats[n_up - 1 - j]
+            return ppk.fused_conv_chain(up, ch["up"], skips=[x1, x0],
+                                        interpret=ch["interpret"],
+                                        band=ch["band"])[-1]
         for j in range(n_up):
             blk = blks[f"ptconv:up{j + 1}"]
             up = self._blk(blk, up, mut) + feats[n_up - 1 - j]
@@ -972,7 +1010,11 @@ def build_packed_infer(model: Model, params: Params,
 
 def build_packed_label_prop(model: Model, params: Params,
                             dtype: jnp.dtype = jnp.bfloat16,
-                            stem_group: int = 4) -> PackedLabelPropInfer:
+                            stem_group: int = 4, pallas: bool = False,
+                            pallas_interpret: bool = False,
+                            pallas_band: Optional[int] = None,
+                            pallas_fold_stem: bool = False
+                            ) -> PackedLabelPropInfer:
     """Compile a trained LabelProp net for TPU inference (exact rewrite of
     zoo.label_prop_apply / reference model.py:538-567). The 8-channel
     full-resolution input is the repo's worst lane-waste case: the packed
@@ -980,6 +1022,8 @@ def build_packed_label_prop(model: Model, params: Params,
     cfg = model.cfg
     assert isinstance(cfg, LabelPropCfg), "packed LP is the LabelProp family"
     np_params = {k: np.asarray(v) for k, v in params.items()}
+    if pallas_fold_stem:
+        assert stem_group == 4, "the folded stem uses the group == f kernel"
     blks = [
         _Blk("stem", "pre", 4, 4, rbb=False, group=stem_group),
         _Blk("pconv", "down1", 4, 2, stride=2, rbb=False),
@@ -995,11 +1039,35 @@ def build_packed_label_prop(model: Model, params: Params,
         pack_conv_weight(np_params["classifier.weight"][:, :, :c_pre], 4, 4, 1),
         dtype)
     plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
-    return PackedLabelPropInfer(cfg, packed, plain, dtype, stem_group)
+    chains = None
+    if pallas:
+        from robocupvision_tpu.ops.pallas_packed import ChainStage
+
+        def pk(prefix, **kw):
+            return ChainStage(w=packed[prefix + ".w"],
+                              b=packed[prefix + ".b"],
+                              scale=packed[prefix + ".scale"],
+                              shift=packed[prefix + ".shift"], **kw)
+
+        down = [pk("down1.conv", rbb=False, emit=True),
+                pk("down2.conv", rbb=False)]
+        if pallas_fold_stem:
+            down.insert(0, pk("pre.conv", rbb=False, emit=True, stem_f=4))
+        up = [pk("upConv2.conv", rbb=False, skip_idx=0),
+              pk("upConv3.conv", rbb=False),
+              ChainStage(w=packed["classifier.w"], b=packed["classifier.b"],
+                         skip_idx=1, skip_w=packed["classifier.wtop"])]
+        chains = {"down": down, "up": up, "interpret": pallas_interpret,
+                  "band": pallas_band, "fold_stem": pallas_fold_stem}
+    return PackedLabelPropInfer(cfg, packed, plain, dtype, stem_group, chains)
 
 
 def build_packed_pb_fcn(model: Model, params: Params,
-                        dtype: jnp.dtype = jnp.bfloat16) -> PackedPBFCNInfer:
+                        dtype: jnp.dtype = jnp.bfloat16,
+                        pallas: bool = False,
+                        pallas_interpret: bool = False,
+                        pallas_band: Optional[int] = None
+                        ) -> PackedPBFCNInfer:
     """Compile a trained PB_FCN (segment mode) for TPU inference — the
     tester.py deployment/latency net (reference tester.py:142-144)."""
     cfg = model.cfg
@@ -1008,4 +1076,30 @@ def build_packed_pb_fcn(model: Model, params: Params,
     np_params = {k: np.asarray(v) for k, v in params.items()}
     packed = _pack_blocks(np_params, _pb_fcn_blks(cfg), dtype)
     plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
-    return PackedPBFCNInfer(cfg, packed, plain, dtype)
+    chains = None
+    if pallas:
+        from robocupvision_tpu.ops.pallas_packed import ChainStage
+
+        def pk(prefix, **kw):
+            return ChainStage(w=packed[prefix + ".w"],
+                              b=packed[prefix + ".b"],
+                              scale=packed[prefix + ".scale"],
+                              shift=packed[prefix + ".shift"], **kw)
+
+        # no fold_stem variant: the PB_FCN stem (FCN.conv0) is DILATED, which
+        # pack_stem_weight_grouped's raw-image kernel doesn't encode — the
+        # chain starts at the already-packed s2d(4) input instead
+        down = [pk("FCN.conv0.conv", rbb=False, emit=True),        # x0
+                pk("FCN.conv1.conv", rbb=False, emit=True),        # x1
+                ChainStage(w=packed["FCN.conv2.conv1.w"],          # pconv_nr
+                           b=packed["FCN.conv2.conv1.b"],
+                           relu_only=True),
+                pk("FCN.conv2.pool", rbb=False)]                   # x2
+        n_up = 4 if cfg.no_scale else 3
+        up = [pk(f"up{n_up - 1}.conv", rbb=False, skip_idx=0),
+              pk(f"up{n_up}.conv", rbb=False, skip_idx=1),
+              ChainStage(w=packed["segmenter.classifier.w"],
+                         b=packed["segmenter.classifier.b"])]
+        chains = {"down": down, "up": up, "interpret": pallas_interpret,
+                  "band": pallas_band}
+    return PackedPBFCNInfer(cfg, packed, plain, dtype, chains)

@@ -66,6 +66,11 @@ class ChainStage:
     # input is then the RAW (N, H*f, W*f, cin) image, pre-split into f
     # row-phase buffers so every tap is a static-phase strided row read
     stem_f: int = 0
+    # relu(y) with NO affine (the packed graph's pconv_nr: ConvPool.conv1)
+    relu_only: bool = False
+    # 1x1 kernel applied to the skip before adding (LabelProp's
+    # channel-slice classifier half: conv(h, W) + conv(top, W[:, :cpre]))
+    skip_w: Any = None
 
     @property
     def k(self) -> int:
@@ -98,12 +103,10 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
     pos = n_x + n_skips
     stage_params = []
     for st in stages:
-        if st.scale is not None:
-            stage_params.append(refs[pos:pos + 4])
-            pos += 4
-        else:
-            stage_params.append(refs[pos:pos + 2])
-            pos += 2
+        n_p = (4 if st.scale is not None else 2) \
+            + (1 if st.skip_w is not None else 0)
+        stage_params.append(refs[pos:pos + n_p])
+        pos += n_p
     out_refs = refs[pos:pos + sum(1 for s in stages if s.emit)]
     scratch_refs = refs[pos + len(out_refs):]
 
@@ -160,10 +163,18 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                 y = jnp.maximum(y, 0.0) * scale + shift
             else:
                 y = jnp.maximum(y * scale + shift, 0.0)
+        elif st.relu_only:
+            y = jnp.maximum(y, 0.0)
         if st.skip_idx >= 0:
             sk = skip_refs[st.skip_idx][0, pl.ds(off - d + skip_pad, strip),
                                         :, :]
-            y = y + sk.astype(jnp.float32)
+            if st.skip_w is not None:  # 1x1-conv'd skip (LabelProp head)
+                y = y + jax.lax.dot_general(
+                    sk, prms[-1][0, 0],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                y = y + sk.astype(jnp.float32)
 
         # rows outside the image must be ZERO (they are conv padding for the
         # next stage), not the garbage the halo recompute produced there
@@ -249,6 +260,9 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
             operands += [jnp.asarray(st.scale, jnp.float32).reshape(1, cout),
                          jnp.asarray(st.shift, jnp.float32).reshape(1, cout)]
             in_specs += [const((1, cout))] * 2
+        if st.skip_w is not None:
+            operands.append(jnp.asarray(st.skip_w, dtype))
+            in_specs.append(const(st.skip_w.shape))
 
     out_shapes = [jax.ShapeDtypeStruct((n, H, W, int(st.w.shape[3])), dtype)
                   for st in stages if st.emit]

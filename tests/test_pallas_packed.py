@@ -97,6 +97,57 @@ def test_pallas_gate_rejects_unsupported_plans():
         packed.build_packed_infer(model, params, pallas=True)
 
 
+def _randomized_params(model, seed):
+    """init() params with perturbed BN running stats so the BN fold is
+    actually exercised (init gives rm=0, rv=1)."""
+    rng = np.random.default_rng(seed)
+    params = {k: np.array(v) for k, v in
+              model.init(jax.random.PRNGKey(seed)).items()}
+    for k in params:
+        if k.endswith(".running_mean"):
+            params[k] = rng.standard_normal(
+                params[k].shape).astype(np.float32) * 0.3
+        elif k.endswith(".running_var"):
+            params[k] = (0.5 + rng.random(params[k].shape)).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in params.items()}
+
+
+@pytest.mark.parametrize("fold_stem", [False, True])
+def test_pallas_chain_label_prop_matches_xla_packed(fold_stem):
+    """LabelProp fused chains (incl. the relu-free 1x1-conv'd channel-slice
+    skip head, skip_w) match the XLA packed path per-pixel."""
+    model = zoo.make("label_prop")
+    params = _randomized_params(model, 21)
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 8)), jnp.float32)
+    base = packed.build_packed_label_prop(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_label_prop(model, params, dtype=jnp.float32,
+                                           pallas=True, pallas_interpret=True,
+                                           pallas_fold_stem=fold_stem)
+    np.testing.assert_allclose(np.asarray(fused.logits(x)),
+                               np.asarray(base.logits(x)),
+                               rtol=2e-4, atol=2e-4)
+    _assert_labels_match(fused, base, x)
+
+
+@pytest.mark.parametrize("no_scale", [False, True])
+def test_pallas_chain_pb_fcn_matches_xla_packed(no_scale):
+    """PB_FCN fused chains (incl. the dilated packed stem and the affine-free
+    relu_only pconv_nr stage) match the XLA packed path per-pixel."""
+    model = zoo.make("pb_fcn", no_scale=no_scale)
+    params = _randomized_params(model, 31 + no_scale)
+    rng = np.random.default_rng(32)
+    hw = (64, 64) if no_scale else (32, 64)
+    x = jnp.asarray(rng.standard_normal((2, *hw, 3)), jnp.float32)
+    base = packed.build_packed_pb_fcn(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_pb_fcn(model, params, dtype=jnp.float32,
+                                       pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.logits(x)),
+                               np.asarray(base.logits(x)),
+                               rtol=2e-4, atol=2e-4)
+    _assert_labels_match(fused, base, x)
+
+
 @pytest.mark.parametrize("no_scale,hw", [
     (False, (120, 160)),
     (True, (480, 640)),
