@@ -177,6 +177,17 @@ def bench_vga_inference():
         except Exception as e:
             out["pallas_fused_stem_error"] = repr(e)[:200]
         _emit(out)
+    if _left() > 60 and on_tpu:
+        try:  # ablation: also fuse the deepest-grid belly region
+            pid = packed.build_packed_infer(model, params,
+                                            dtype=jnp.bfloat16, pallas=True,
+                                            pallas_fold_stem=True,
+                                            pallas_deep=True)
+            out["fps_packed_bf16_b1_pallas_fused_deep"] = \
+                1.0 / _time(jax.jit(pid.infer), x1, iters=600)
+        except Exception as e:
+            out["pallas_fused_deep_error"] = repr(e)[:200]
+        _emit(out)
 
     # QVGA flagship (tester.py's DEFAULT working resolution, scale=4)
     if _left() > 60:

@@ -502,11 +502,22 @@ class PackedInfer(_PackedBase):
                 h, ch["down"], interpret=ch["interpret"], band=ch["band"])
         h = feats[2]
         D = len(plan.downs)
+        deep = ch.get("deep")
         for lvl in range(3, D):
-            for blk in plan.downs[lvl]:
+            blks = plan.downs[lvl]
+            if deep is not None and lvl == D - 1:
+                # Level(D-1).Conv1 + the PB belly run as ONE single-band
+                # chain on the deepest grid; only the strided Conv0 stays XLA
+                h = self._blk(blks[0], h, mut)
+                # band=None: the deepest grid is <= 32 rows at any deployed
+                # resolution — one whole-image band, halo-free
+                h = ppk.fused_conv_chain(h, deep,
+                                         interpret=ch["interpret"])[-1]
+                break
+            for blk in blks:
                 h = self._blk(blk, h, mut)
             feats[lvl] = h
-        if plan.belly:
+        if plan.belly and deep is None:
             h = L.level_down(p, mut, "PB.PB_1", h, cfg.belly_size - 1, False,
                              False, False)
             h = L.level_down(p, mut, "PB.PB_2", h, 1, False, False, False)
@@ -918,12 +929,16 @@ def _pack_blocks(np_params: Params, blks, dtype) -> Params:
 def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
                            np_params: Params, dtype,
                            interpret: bool, band,
-                           fold_stem: bool = False) -> dict:
+                           fold_stem: bool = False,
+                           deep: bool = False) -> dict:
     """ChainStage lists for the flagship plan's two Pallas fused regions
     (ops/pallas_packed.py). Gated by build_packed_infer(pallas=True).
     ``fold_stem``: start the down chain at the RAW image with the grouped
     space-to-depth stem kernel as stage 0 (the chain then emits feats0
-    itself and the XLA stem conv disappears entirely)."""
+    itself and the XLA stem conv disappears entirely).
+    ``deep``: also fuse the deepest-grid region — Level(D-1).Conv1 plus the
+    whole PB belly, six consecutive s1/p1 conv_blocks on one (H/16, W/16)
+    grid — as a third single-band chain."""
     from robocupvision_tpu.ops.pallas_packed import ChainStage
 
     D = cfg.eff_depth
@@ -933,18 +948,20 @@ def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
                           scale=packed[prefix + ".scale"],
                           shift=packed[prefix + ".shift"], **kw)
 
-    # L2C1 is a plain (f==1) conv_block on the XLA path — fold its eval-mode
-    # BN to the same affine form for the chain
-    name = "downPart.Level2.layers.Conv1"
-    scale, shift = _fold_bn(np_params, name + ".bn")
-    l2c1 = ChainStage(w=jnp.asarray(np_params[name + ".conv.weight"], dtype),
-                      b=np_params[name + ".conv.bias"],
-                      scale=scale, shift=shift, rbb=True, emit=True)
+    def plain_block(name, **kw):
+        # a plain (f==1) conv_block on the XLA path — fold its eval-mode BN
+        # to the chain's affine form
+        scale, shift = _fold_bn(np_params, name + ".bn")
+        return ChainStage(
+            w=jnp.asarray(np_params[name + ".conv.weight"], dtype),
+            b=np_params[name + ".conv.bias"],
+            scale=scale, shift=shift, rbb=True, **kw)
+
     down = [
         pk("downPart.Level1.layers.Conv0.conv", rbb=True),
         pk("downPart.Level1.layers.Conv1.conv", rbb=True, emit=True),
         pk("downPart.Level2.layers.Conv0.conv", rbb=True),
-        l2c1,
+        plain_block("downPart.Level2.layers.Conv1", emit=True),
     ]
     if fold_stem:
         down.insert(0, pk("downPart.Level0.layers.Conv0.conv", rbb=True,
@@ -955,8 +972,18 @@ def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
         ChainStage(w=packed["segmenter.layers.Class.w"],
                    b=packed["segmenter.layers.Class.b"], rbb=False),
     ]
-    return {"down": down, "up": up, "interpret": interpret, "band": band,
-            "fold_stem": fold_stem}
+    chains = {"down": down, "up": up, "interpret": interpret, "band": band,
+              "fold_stem": fold_stem}
+    if deep:
+        # Level(D-1).Conv1 + PB_1.Conv0..Conv(belly_size-2) + PB_2.Conv0:
+        # all stride-1 conv_blocks on the deepest grid (VGA flagship:
+        # 30x40 x 128ch), fed by the XLA strided Level(D-1).Conv0
+        names = [f"downPart.Level{D - 1}.layers.Conv1"] \
+            + [f"PB.PB_1.layers.Conv{i}"
+               for i in range(max(cfg.belly_size - 1, 1))] \
+            + ["PB.PB_2.layers.Conv0"]
+        chains["deep"] = [plain_block(n) for n in names]
+    return chains
 
 
 def build_packed_infer(model: Model, params: Params,
@@ -964,7 +991,8 @@ def build_packed_infer(model: Model, params: Params,
                        stem_group: int = 0, pallas: bool = False,
                        pallas_interpret: bool = False,
                        pallas_band: Optional[int] = None,
-                       pallas_fold_stem: bool = False) -> PackedInfer:
+                       pallas_fold_stem: bool = False,
+                       pallas_deep: bool = False) -> PackedInfer:
     """Compile a trained ROBO-UNet for TPU inference (exact rewrite).
 
     Supports the whole deployed ROBO-UNet family (reference model.py:461-536,
@@ -1004,7 +1032,7 @@ def build_packed_infer(model: Model, params: Params,
             "the folded stem uses the group == f kernel"
         chains = _build_flagship_chains(cfg, packed, np_params, dtype,
                                         pallas_interpret, pallas_band,
-                                        pallas_fold_stem)
+                                        pallas_fold_stem, pallas_deep)
     return PackedInfer(cfg, plan, packed, plain, dtype, chains)
 
 

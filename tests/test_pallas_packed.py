@@ -97,6 +97,25 @@ def test_pallas_gate_rejects_unsupported_plans():
         packed.build_packed_infer(model, params, pallas=True)
 
 
+@pytest.mark.parametrize("no_scale,hw", [
+    (False, (120, 160)),
+    (True, (480, 640)),
+])
+def test_pallas_chain_deep_matches_xla_packed_f32(no_scale, hw):
+    """pallas_deep variant: Level(D-1).Conv1 + the whole PB belly fused as a
+    third single-band chain on the deepest grid."""
+    model, params = _build(no_scale, seed=11)
+    x = jax.random.normal(jax.random.PRNGKey(12), (1, *hw, 3), jnp.float32)
+    base = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True,
+                                      pallas_fold_stem=True, pallas_deep=True)
+    np.testing.assert_allclose(np.asarray(fused.logits(x)),
+                               np.asarray(base.logits(x)),
+                               rtol=2e-4, atol=2e-4)
+    _assert_labels_match(fused, base, x)
+
+
 def _randomized_params(model, seed):
     """init() params with perturbed BN running stats so the BN fold is
     actually exercised (init gives rm=0, rv=1)."""
