@@ -215,7 +215,7 @@ def bench_vga_inference():
             try:  # Pallas fused-chain head-to-head (same graph)
                 lpp = packed.build_packed_label_prop(
                     lp_model, lp_params, jnp.bfloat16, pallas=True,
-                    pallas_fold_stem=True)
+                    pallas_fold_stem=True, pallas_mid=True)
                 out["fps_label_prop_packed_qvga_b1_pallas"] = \
                     1.0 / _time(jax.jit(lpp.infer), xlp, iters=800)
             except Exception as e:

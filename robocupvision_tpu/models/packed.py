@@ -574,8 +574,16 @@ class PackedLabelPropInfer(_PackedBase):
                 bottom = self._blk(_Blk("pconv", "down2", 2, 1, stride=2,
                                         rbb=False), middle, mut)
         h = cps("down3", bottom, 2, 1, 1)
-        h = cps("conv3", cps("conv2", cps("conv1", h, 1, 2, 2), 1, 2, 2),
-                1, 2, 2)
+        if ch is not None and ch.get("mid") is not None:
+            from robocupvision_tpu.ops import pallas_packed as ppk
+
+            # the dilated belly [conv1, conv2, conv3] as one chain on the
+            # H/8 grid (fed by the XLA strided down3)
+            h = ppk.fused_conv_chain(h, ch["mid"],
+                                     interpret=ch["interpret"])[-1]
+        else:
+            h = cps("conv3", cps("conv2", cps("conv1", h, 1, 2, 2), 1, 2, 2),
+                    1, 2, 2)
         h = bottom + L.up_tconv(p, mut, "upConv1", h, False)
         if ch is not None:
             from robocupvision_tpu.ops import pallas_packed as ppk
@@ -632,24 +640,32 @@ class PackedPBFCNInfer(_PackedBase):
     def _logits_packed(self, x: jax.Array) -> jax.Array:
         cfg, p = self.cfg, self.plain
         ch = self.chains
+        dc = ch.get("deep") if ch is not None else None
         mut: Params = {}
         blks = {b.kind + ":" + b.name: b for b in _pb_fcn_blks(cfg)}
         h = space_to_depth(x.astype(self.dtype), 4)
 
+        def cps(name, x, stride, padding, dilation):
+            return L.conv_pool_simple(p, mut, name, x, stride, padding,
+                                      dilation, False)
+
+        def pool_tail(name, y):
+            # the stride-2 pool conv + BN tail of a ConvPool whose dilated
+            # conv1 was absorbed into the preceding chain
+            y = L.conv(p, name + ".pool", y, stride=2, padding=1)
+            return nn.relu(L.bn(p, mut, name + ".bn", y, False))
+
         if ch is not None:
             from robocupvision_tpu.ops import pallas_packed as ppk
 
-            x0, x1, x2 = ppk.fused_conv_chain(
+            outs = ppk.fused_conv_chain(
                 h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+            x0, x1, x2 = outs[:3]
         else:
             x0 = self._blk(blks["pconv:FCN.conv0"], h, mut)
             x1 = self._blk(blks["pconv:FCN.conv1"], x0, mut)
             hh = self._blk(blks["pconv_nr:FCN.conv2"], x1, mut)
             x2 = self._blk(blks["pconv:FCN.conv2"], hh, mut)
-
-        def cps(name, x, stride, padding, dilation):
-            return L.conv_pool_simple(p, mut, name, x, stride, padding,
-                                      dilation, False)
 
         def deep(h):
             h = L.conv_pool(p, mut, "FCN.conv3", h, False)
@@ -657,7 +673,17 @@ class PackedPBFCNInfer(_PackedBase):
                 h = cps(f"FCN.conv{i}", h, 1, 2, 2)
             return h
 
-        if cfg.no_scale:
+        if dc is not None:
+            # outs[3] is the dilated relu-only conv1 of the ConvPool that
+            # FOLLOWS x2 (conv_ext when no_scale, conv3 otherwise)
+            if cfg.no_scale:
+                x3 = pool_tail("FCN.conv_ext", outs[3])
+                y = L.conv_pool(p, mut, "FCN.conv3", x3, False)
+            else:
+                y = pool_tail("FCN.conv3", outs[3])
+            y = ppk.fused_conv_chain(y, dc, interpret=ch["interpret"])[-1]
+            feats = [x0, x1, x2, x3, y] if cfg.no_scale else [x0, x1, x2, y]
+        elif cfg.no_scale:
             x3 = L.conv_pool(p, mut, "FCN.conv_ext", x2, False)
             feats = [x0, x1, x2, x3, deep(x3)]
         else:
@@ -926,6 +952,20 @@ def _pack_blocks(np_params: Params, blks, dtype) -> Params:
     return packed
 
 
+def _plain_stage(np_params: Params, name: str, dtype, rbb: bool, **kw):
+    """ChainStage for a plain (f==1) conv(+BN) block: eval-mode BN folded to
+    the chain's affine form; bias-less convs get a zero bias."""
+    from robocupvision_tpu.ops.pallas_packed import ChainStage
+
+    w = np_params[name + ".conv.weight"]
+    b = np_params.get(name + ".conv.bias")
+    if b is None:
+        b = np.zeros(w.shape[-1], np.float32)
+    scale, shift = _fold_bn(np_params, name + ".bn")
+    return ChainStage(w=jnp.asarray(w, dtype), b=b, scale=scale, shift=shift,
+                      rbb=rbb, **kw)
+
+
 def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
                            np_params: Params, dtype,
                            interpret: bool, band,
@@ -949,13 +989,7 @@ def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
                           shift=packed[prefix + ".shift"], **kw)
 
     def plain_block(name, **kw):
-        # a plain (f==1) conv_block on the XLA path — fold its eval-mode BN
-        # to the chain's affine form
-        scale, shift = _fold_bn(np_params, name + ".bn")
-        return ChainStage(
-            w=jnp.asarray(np_params[name + ".conv.weight"], dtype),
-            b=np_params[name + ".conv.bias"],
-            scale=scale, shift=shift, rbb=True, **kw)
+        return _plain_stage(np_params, name, dtype, rbb=True, **kw)
 
     down = [
         pk("downPart.Level1.layers.Conv0.conv", rbb=True),
@@ -1041,7 +1075,8 @@ def build_packed_label_prop(model: Model, params: Params,
                             stem_group: int = 4, pallas: bool = False,
                             pallas_interpret: bool = False,
                             pallas_band: Optional[int] = None,
-                            pallas_fold_stem: bool = False
+                            pallas_fold_stem: bool = False,
+                            pallas_mid: bool = False
                             ) -> PackedLabelPropInfer:
     """Compile a trained LabelProp net for TPU inference (exact rewrite of
     zoo.label_prop_apply / reference model.py:538-567). The 8-channel
@@ -1087,6 +1122,12 @@ def build_packed_label_prop(model: Model, params: Params,
                          skip_idx=1, skip_w=packed["classifier.wtop"])]
         chains = {"down": down, "up": up, "interpret": pallas_interpret,
                   "band": pallas_band, "fold_stem": pallas_fold_stem}
+        if pallas_mid:
+            # dilated belly convs (reference model.py:556-558): plain f==1
+            # conv_pool_simple blocks, conv -> BN -> ReLU order
+            chains["mid"] = [
+                _plain_stage(np_params, n, dtype, rbb=False, dil=2)
+                for n in ("conv1", "conv2", "conv3")]
     return PackedLabelPropInfer(cfg, packed, plain, dtype, stem_group, chains)
 
 
@@ -1094,7 +1135,8 @@ def build_packed_pb_fcn(model: Model, params: Params,
                         dtype: jnp.dtype = jnp.bfloat16,
                         pallas: bool = False,
                         pallas_interpret: bool = False,
-                        pallas_band: Optional[int] = None
+                        pallas_band: Optional[int] = None,
+                        pallas_deep: bool = False
                         ) -> PackedPBFCNInfer:
     """Compile a trained PB_FCN (segment mode) for TPU inference — the
     tester.py deployment/latency net (reference tester.py:142-144)."""
@@ -1130,4 +1172,17 @@ def build_packed_pb_fcn(model: Model, params: Params,
                          b=packed["segmenter.classifier.b"])]
         chains = {"down": down, "up": up, "interpret": pallas_interpret,
                   "band": pallas_band}
+        if pallas_deep:
+            # absorb the dilated relu-only conv1 of the ConvPool after x2
+            # into the down chain (its stride-2 pool conv + BN stay XLA) and
+            # run the five dilated deep convs as one chain (model.py:220-230)
+            nxt = "FCN.conv_ext" if cfg.no_scale else "FCN.conv3"
+            w = np_params[nxt + ".conv1.weight"]
+            down[-1] = dataclasses.replace(down[-1], emit=True)  # x2
+            down.append(ChainStage(
+                w=jnp.asarray(w, dtype), b=np.zeros(w.shape[-1], np.float32),
+                relu_only=True, dil=2))
+            chains["deep"] = [
+                _plain_stage(np_params, f"FCN.conv{i}", dtype, rbb=False,
+                             dil=2) for i in range(4, 9)]
     return PackedPBFCNInfer(cfg, packed, plain, dtype, chains)

@@ -7,9 +7,10 @@ re-blocks every intermediate into its private 5-D tiled layout). The r2
 single-op Pallas conv lost to XLA (kernel-call overhead + no epilogue
 sharing), so this second attempt fuses a whole REGION instead:
 
-Every conv in the packed graph's top region is 3x3/s1/p1 (or 1x1) on the
-SAME (Hp, Wp, C<=128) grid — space-to-depth already folded the strides and
-resolution changes into the channel dimension. A region of N consecutive
+Every conv in the packed graph's top region is 3x3/s1/p1 (or 1x1, or
+3x3/s1 dilated with torch padding == dil) on the SAME (Hp, Wp, C<=128)
+grid — space-to-depth already folded the strides and resolution changes
+into the channel dimension. A region of N consecutive
 convs therefore runs as ONE kernel: the chain input stays resident in VMEM,
 each stage's output strip lives in VMEM scratch (with halo rows recomputed
 per band), and only the emitted feature maps (skip inputs for the up path,
@@ -71,17 +72,25 @@ class ChainStage:
     # 1x1 kernel applied to the skip before adding (LabelProp's
     # channel-slice classifier half: conv(h, W) + conv(top, W[:, :cpre]))
     skip_w: Any = None
+    # 3x3 tap dilation (torch padding == dil), e.g. the reference's dilated
+    # f==1 belly convs (LabelProp conv1-3, PB_FCN FCN.conv4-8)
+    dil: int = 1
 
     @property
     def k(self) -> int:
         return int(self.w.shape[0])
+
+    @property
+    def reach(self) -> int:
+        """Rows/cols of input context beyond the center this stage reads."""
+        return self.dil * (self.k // 2)
 
 
 def _halo_depths(stages: Sequence[ChainStage]) -> List[int]:
     """d[k]: extra rows stage k must produce so later 3x3 stages see halos."""
     d = [0] * len(stages)
     for k in range(len(stages) - 2, -1, -1):
-        d[k] = d[k + 1] + (1 if stages[k + 1].k == 3 else 0)
+        d[k] = d[k + 1] + stages[k + 1].reach
     return d
 
 
@@ -138,18 +147,21 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                         preferred_element_type=jnp.float32)
                     acc = t if acc is None else acc + t
         else:
+            R = st.reach  # dil * (K // 2): tap offset and border width
             for dy in range(K):
                 for dx in range(K):
-                    rel = dy - K // 2
+                    rel = st.dil * (dy - K // 2)
                     if k == 0:
-                        # x buffer row = global row + x_pad; col = col + K//2
+                        # x buffer row = global row + x_pad; col = col + R
                         xs = x_ref[0, pl.ds(off - d + rel + x_pad, strip),
-                                   pl.ds(dx, W), :]
+                                   pl.ds(st.dil * dx, W), :]
                     else:
-                        # prev scratch stores its strip at row offset 1, col 1
+                        # prev scratch stores its strip at row/col offset R
+                        # (the border width THIS stage's taps need)
                         delta = prev_d - d
-                        xs = prev_scratch[pl.ds(delta + rel + 1, strip),
-                                          pl.ds(dx - K // 2 + 1, W), :]
+                        xs = prev_scratch[pl.ds(delta + rel + R, strip),
+                                          pl.ds(st.dil * (dx - K // 2) + R,
+                                                W), :]
                     t = jax.lax.dot_general(
                         xs, w_ref[dy, dx],
                         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -185,13 +197,15 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
             out_refs[out_i][0] = y[d:d + band].astype(out_refs[out_i].dtype)
             out_i += 1
         if k + 1 < len(stages):
+            bw = stages[k + 1].reach  # border the NEXT stage's taps read
             sref = scratch_refs[k]
-            sref[pl.ds(1, strip), pl.ds(1, W), :] = y.astype(sref.dtype)
-            # zero the column borders the next stage's dx taps read
-            # (scratch is uninitialized; row borders are never read)
-            zc = jnp.zeros((strip + 2, 1, cout), sref.dtype)
-            sref[:, pl.ds(0, 1), :] = zc
-            sref[:, pl.ds(W + 1, 1), :] = zc
+            sref[pl.ds(bw, strip), pl.ds(bw, W), :] = y.astype(sref.dtype)
+            if bw:
+                # zero the column borders the next stage's dx taps read
+                # (scratch is uninitialized; row borders are never read)
+                zc = jnp.zeros((strip + 2 * bw, bw, cout), sref.dtype)
+                sref[:, pl.ds(0, bw), :] = zc
+                sref[:, pl.ds(W + bw, bw), :] = zc
             prev_scratch, prev_d = sref, d
 
 
@@ -220,7 +234,7 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
         skip_pad = depths[0] + (f + 2) // 2
     else:
         H, W = x.shape[1], x.shape[2]
-        x_pad = skip_pad = depths[0] + stages[0].k // 2
+        x_pad = skip_pad = depths[0] + stages[0].reach
     if band is None:
         band = H if H <= 32 else next(
             b for b in (24, 20, 30, 40, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1)
@@ -237,7 +251,7 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
         x_bufs = [xg[:, :, p] for p in range(f)]
     else:
         x_bufs = [jnp.pad(x, ((0, 0), (x_pad, x_pad),
-                              (stages[0].k // 2,) * 2, (0, 0)))]
+                              (stages[0].reach,) * 2, (0, 0)))]
     skips_p = [jnp.pad(s, ((0, 0), (skip_pad, skip_pad), (0, 0), (0, 0)))
                for s in skips]
 
@@ -270,7 +284,8 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
                               lambda b, i: (b, i, 0, 0)) for s in out_shapes]
 
     scratch_shapes = [
-        pltpu_vmem((band + 2 * depths[k] + 2, W + 2, int(st.w.shape[3])),
+        pltpu_vmem((band + 2 * depths[k] + 2 * stages[k + 1].reach,
+                    W + 2 * stages[k + 1].reach, int(st.w.shape[3])),
                    dtype)
         for k, st in enumerate(stages[:-1])]
 

@@ -131,10 +131,12 @@ def _randomized_params(model, seed):
     return {k: jnp.asarray(v) for k, v in params.items()}
 
 
-@pytest.mark.parametrize("fold_stem", [False, True])
-def test_pallas_chain_label_prop_matches_xla_packed(fold_stem):
+@pytest.mark.parametrize("fold_stem,mid", [(False, False), (True, False),
+                                           (True, True)])
+def test_pallas_chain_label_prop_matches_xla_packed(fold_stem, mid):
     """LabelProp fused chains (incl. the relu-free 1x1-conv'd channel-slice
-    skip head, skip_w) match the XLA packed path per-pixel."""
+    skip head, skip_w, and the dilated mid-belly chain) match the XLA packed
+    path per-pixel."""
     model = zoo.make("label_prop")
     params = _randomized_params(model, 21)
     rng = np.random.default_rng(22)
@@ -142,17 +144,20 @@ def test_pallas_chain_label_prop_matches_xla_packed(fold_stem):
     base = packed.build_packed_label_prop(model, params, dtype=jnp.float32)
     fused = packed.build_packed_label_prop(model, params, dtype=jnp.float32,
                                            pallas=True, pallas_interpret=True,
-                                           pallas_fold_stem=fold_stem)
+                                           pallas_fold_stem=fold_stem,
+                                           pallas_mid=mid)
     np.testing.assert_allclose(np.asarray(fused.logits(x)),
                                np.asarray(base.logits(x)),
                                rtol=2e-4, atol=2e-4)
     _assert_labels_match(fused, base, x)
 
 
-@pytest.mark.parametrize("no_scale", [False, True])
-def test_pallas_chain_pb_fcn_matches_xla_packed(no_scale):
-    """PB_FCN fused chains (incl. the dilated packed stem and the affine-free
-    relu_only pconv_nr stage) match the XLA packed path per-pixel."""
+@pytest.mark.parametrize("no_scale,deep", [(False, False), (True, False),
+                                           (False, True), (True, True)])
+def test_pallas_chain_pb_fcn_matches_xla_packed(no_scale, deep):
+    """PB_FCN fused chains (incl. the dilated packed stem, the affine-free
+    relu_only pconv_nr stage, and the dilated deep chain with the absorbed
+    ConvPool conv1) match the XLA packed path per-pixel."""
     model = zoo.make("pb_fcn", no_scale=no_scale)
     params = _randomized_params(model, 31 + no_scale)
     rng = np.random.default_rng(32)
@@ -160,7 +165,8 @@ def test_pallas_chain_pb_fcn_matches_xla_packed(no_scale):
     x = jnp.asarray(rng.standard_normal((2, *hw, 3)), jnp.float32)
     base = packed.build_packed_pb_fcn(model, params, dtype=jnp.float32)
     fused = packed.build_packed_pb_fcn(model, params, dtype=jnp.float32,
-                                       pallas=True, pallas_interpret=True)
+                                       pallas=True, pallas_interpret=True,
+                                       pallas_deep=deep)
     np.testing.assert_allclose(np.asarray(fused.logits(x)),
                                np.asarray(base.logits(x)),
                                rtol=2e-4, atol=2e-4)
