@@ -523,7 +523,11 @@ class PackedInfer(_PackedBase):
             h = L.level_down(p, mut, "PB.PB_2", h, 1, False, False, False)
         up = h
         for j in range(D - 3):             # f==1 ups stay on the plain path
-            up = self._blk(plan.ups[j], up, mut) + feats[D - 2 - j]
+            y = self._blk(plan.ups[j], up, mut)
+            skip = feats[D - 2 - j]
+            # v2 concats at f==1 are materialized (cheap at plain lanes);
+            # the chain's split2 stages consume the f>1 ones unmaterialized
+            up = jnp.concatenate([y, skip], axis=-1) if plan.v2 else y + skip
         out = ppk.fused_conv_chain(up, ch["up"], skips=[feats[1], feats[0]],
                                    interpret=ch["interpret"], band=ch["band"])
         return out[-1]
@@ -991,28 +995,50 @@ def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
     def plain_block(name, **kw):
         return _plain_stage(np_params, name, dtype, rbb=True, **kw)
 
-    down = [
-        pk("downPart.Level1.layers.Conv0.conv", rbb=True),
-        pk("downPart.Level1.layers.Conv1.conv", rbb=True, emit=True),
-        pk("downPart.Level2.layers.Conv0.conv", rbb=True),
-        plain_block("downPart.Level2.layers.Conv1", emit=True),
-    ]
+    nI = cfg.levels  # convs per down level (Conv0 strided + nI-1 preserving)
+    down = [pk(f"downPart.Level1.layers.Conv{i}.conv", rbb=True)
+            for i in range(nI)]
+    down[-1] = dataclasses.replace(down[-1], emit=True)   # feats[1]
+    down.append(pk("downPart.Level2.layers.Conv0.conv", rbb=True))
+    for i in range(1, nI):  # Level2 grid-preserving convs are plain (f==1)
+        down.append(plain_block(f"downPart.Level2.layers.Conv{i}"))
+    down[-1] = dataclasses.replace(down[-1], emit=True)   # feats[2]
     if fold_stem:
         down.insert(0, pk("downPart.Level0.layers.Conv0.conv", rbb=True,
                           emit=True, stem_f=4))
-    up = [
-        pk(f"upPart.Up{D - 3}.conv", rbb=False, skip_idx=0),
-        pk(f"upPart.Up{D - 2}.conv", rbb=False, skip_idx=1),
-        ChainStage(w=packed["segmenter.layers.Class.w"],
-                   b=packed["segmenter.layers.Class.b"], rbb=False),
-    ]
+    if cfg.v2:
+        # concat skips: the consuming stage applies its split halves — w0 to
+        # the chain-internal tconv output, w1 to the skip (concat note in
+        # models/packed.py); Up(D-3) consumes the MATERIALIZED f==1 concat
+        # so its packed weight is whole
+        up = [
+            pk(f"upPart.Up{D - 3}.conv", rbb=False),
+            ChainStage(w=packed[f"upPart.Up{D - 2}.conv.w0"],
+                       b=packed[f"upPart.Up{D - 2}.conv.b"],
+                       scale=packed[f"upPart.Up{D - 2}.conv.scale"],
+                       shift=packed[f"upPart.Up{D - 2}.conv.shift"],
+                       rbb=False, skip_idx=0,
+                       skip_w=packed[f"upPart.Up{D - 2}.conv.w1"]),
+            ChainStage(w=packed["segmenter.layers.Class.w0"],
+                       b=packed["segmenter.layers.Class.b"], rbb=False,
+                       skip_idx=1,
+                       skip_w=packed["segmenter.layers.Class.w1"]),
+        ]
+    else:
+        up = [
+            pk(f"upPart.Up{D - 3}.conv", rbb=False, skip_idx=0),
+            pk(f"upPart.Up{D - 2}.conv", rbb=False, skip_idx=1),
+            ChainStage(w=packed["segmenter.layers.Class.w"],
+                       b=packed["segmenter.layers.Class.b"], rbb=False),
+        ]
     chains = {"down": down, "up": up, "interpret": interpret, "band": band,
               "fold_stem": fold_stem}
     if deep:
-        # Level(D-1).Conv1 + PB_1.Conv0..Conv(belly_size-2) + PB_2.Conv0:
-        # all stride-1 conv_blocks on the deepest grid (VGA flagship:
-        # 30x40 x 128ch), fed by the XLA strided Level(D-1).Conv0
-        names = [f"downPart.Level{D - 1}.layers.Conv1"] \
+        # Level(D-1).Conv{1..nI-1} + PB_1.Conv0..Conv(belly_size-2) +
+        # PB_2.Conv0: all stride-1 conv_blocks on the deepest grid (VGA
+        # flagship: 30x40 x 128ch), fed by the XLA strided Level(D-1).Conv0
+        names = [f"downPart.Level{D - 1}.layers.Conv{i}"
+                 for i in range(1, nI)] \
             + [f"PB.PB_1.layers.Conv{i}"
                for i in range(max(cfg.belly_size - 1, 1))] \
             + ["PB.PB_2.layers.Conv0"]
@@ -1059,9 +1085,9 @@ def build_packed_infer(model: Model, params: Params,
     plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
     chains = None
     if pallas:
-        assert not cfg.pool and not cfg.v2 and cfg.levels == 2 \
-            and cfg.class_size == 1 and cfg.belly_size > 0, \
-            "pallas fused regions cover the flagship plan"
+        assert not cfg.pool and cfg.levels in (1, 2) \
+            and cfg.class_size in (1, 3) and cfg.belly_size > 0, \
+            "pallas fused regions cover the strided-conv ROBO-UNet plans"
         assert not (pallas_fold_stem and stem_group not in (0, 4)), \
             "the folded stem uses the group == f kernel"
         chains = _build_flagship_chains(cfg, packed, np_params, dtype,

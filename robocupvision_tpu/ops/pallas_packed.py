@@ -69,8 +69,10 @@ class ChainStage:
     stem_f: int = 0
     # relu(y) with NO affine (the packed graph's pconv_nr: ConvPool.conv1)
     relu_only: bool = False
-    # 1x1 kernel applied to the skip before adding (LabelProp's
-    # channel-slice classifier half: conv(h, W) + conv(top, W[:, :cpre]))
+    # kernel applied to the skip before adding, instead of an identity add:
+    # 1x1 for LabelProp's channel-slice classifier half (conv(h, W) +
+    # conv(top, W[:, :cpre])); 3x3 for the v2 concat skips' split halves
+    # (conv(concat(y, skip), W) == conv(y, W0) + conv(skip, W1))
     skip_w: Any = None
     # 3x3 tap dilation (torch padding == dil), e.g. the reference's dilated
     # f==1 belly convs (LabelProp conv1-3, PB_FCN FCN.conv4-8)
@@ -96,7 +98,7 @@ def _halo_depths(stages: Sequence[ChainStage]) -> List[int]:
 
 def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                   n_skips: int, band: int, H: int, W: int, x_pad: int,
-                  skip_pad: int):
+                  skip_pad: int, skip_cpad: int):
     """One (batch, row-band) cell of the fused chain. refs order: x (or f
     row-phase buffers for a stem chain), skips..., per-stage params
     (w, b[, scale, shift]), emitted outputs..., per-stage scratch (all but
@@ -167,6 +169,20 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                         dimension_numbers=(((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     acc = t if acc is None else acc + t
+        if st.skip_w is not None:
+            # conv'd skip: the second half of a SPLIT conv (v2 concat /
+            # LabelProp channel-slice) — accumulate BEFORE bias + epilogue
+            skr = skip_refs[st.skip_idx]
+            ks = int(st.skip_w.shape[0])
+            for dy in range(ks):
+                for dx in range(ks):
+                    sk = skr[0, pl.ds(off - d + dy - ks // 2 + skip_pad,
+                                      strip),
+                             pl.ds(dx + skip_cpad - ks // 2, W), :]
+                    acc = acc + jax.lax.dot_general(
+                        sk, prms[-1][dy, dx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         y = acc + b_ref[0].astype(jnp.float32)
         if st.scale is not None:
             scale = prms[2][0].astype(jnp.float32)
@@ -177,16 +193,11 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                 y = jnp.maximum(y * scale + shift, 0.0)
         elif st.relu_only:
             y = jnp.maximum(y, 0.0)
-        if st.skip_idx >= 0:
+        if st.skip_idx >= 0 and st.skip_w is None:
+            # identity skip: the packed graph's residual add AFTER the block
             sk = skip_refs[st.skip_idx][0, pl.ds(off - d + skip_pad, strip),
-                                        :, :]
-            if st.skip_w is not None:  # 1x1-conv'd skip (LabelProp head)
-                y = y + jax.lax.dot_general(
-                    sk, prms[-1][0, 0],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            else:
-                y = y + sk.astype(jnp.float32)
+                                        pl.ds(skip_cpad, W), :]
+            y = y + sk.astype(jnp.float32)
 
         # rows outside the image must be ZERO (they are conv padding for the
         # next stage), not the garbage the halo recompute produced there
@@ -225,16 +236,20 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
     depths = _halo_depths(stages)
     stem_f = stages[0].stem_f
     n = x.shape[0]
+    # 3x3 skip kernels tap one row/col beyond the consuming stage's strip
+    skip_cpad = max((int(st.skip_w.shape[0]) // 2 for st in stages
+                     if st.skip_w is not None), default=0)
     if stem_f:
         # raw (N, H*f, W*f, cin) image in; the chain runs on the packed grid
         f = stem_f
         H, W = x.shape[1] // f, x.shape[2] // f
         c_in = x.shape[3]
         x_pad = depths[0] + 1  # block rows
-        skip_pad = depths[0] + (f + 2) // 2
+        skip_pad = depths[0] + (f + 2) // 2 + skip_cpad
     else:
         H, W = x.shape[1], x.shape[2]
-        x_pad = skip_pad = depths[0] + stages[0].reach
+        x_pad = depths[0] + stages[0].reach
+        skip_pad = x_pad + skip_cpad
     if band is None:
         band = H if H <= 32 else next(
             b for b in (24, 20, 30, 40, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1)
@@ -252,7 +267,8 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
     else:
         x_bufs = [jnp.pad(x, ((0, 0), (x_pad, x_pad),
                               (stages[0].reach,) * 2, (0, 0)))]
-    skips_p = [jnp.pad(s, ((0, 0), (skip_pad, skip_pad), (0, 0), (0, 0)))
+    skips_p = [jnp.pad(s, ((0, 0), (skip_pad, skip_pad),
+                           (skip_cpad, skip_cpad), (0, 0)))
                for s in skips]
 
     def whole(shape):  # one batch row resident in VMEM, indexed by b
@@ -292,7 +308,7 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
     kernel = functools.partial(
         _chain_kernel, stages=tuple(stages), depths=tuple(depths),
         n_skips=len(skips_p), band=band, H=H, W=W, x_pad=x_pad,
-        skip_pad=skip_pad)
+        skip_pad=skip_pad, skip_cpad=skip_cpad)
     outs = pl.pallas_call(
         kernel,
         grid=(n, H // band),

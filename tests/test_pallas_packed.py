@@ -90,11 +90,52 @@ def test_pallas_chain_bf16_label_agreement():
     assert agree > 0.999, agree
 
 
+def test_pallas_chain_pb_fcn_2_matches_xla_packed():
+    """PB_FCN_2 seg rides the flagship plan (build_packed_infer cfg mapping)
+    — the fused chains must hold for it too."""
+    model = zoo.make("pb_fcn_2", classify=False)
+    params = _randomized_params(model, 41)
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    base = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True,
+                                      pallas_fold_stem=True, pallas_deep=True)
+    np.testing.assert_allclose(np.asarray(fused.logits(x)),
+                               np.asarray(base.logits(x)),
+                               rtol=2e-4, atol=2e-4)
+    _assert_labels_match(fused, base, x)
+
+
 def test_pallas_gate_rejects_unsupported_plans():
-    model, params = _build(False, v2=True, levels=1, belly_size=9,
-                           belly_planes=128, class_size=3)
+    # pool (maxpool downs) and belly-less plans stay on the XLA packed path
+    model, params = _build(False, pool=True, levels=3, belly_size=0)
     with pytest.raises(AssertionError):
         packed.build_packed_infer(model, params, pallas=True)
+    model, params = _build(False, levels=3, belly_size=0)
+    with pytest.raises(AssertionError):
+        packed.build_packed_infer(model, params, pallas=True)
+
+
+@pytest.mark.parametrize("no_scale,hw", [
+    (False, (120, 160)),
+    (True, (480, 640)),
+])
+def test_pallas_chain_v2_matches_xla_packed_f32(no_scale, hw):
+    """--v2 (concat skips, hyper-table config: levels=1, 3x3 class head):
+    the chain's split2 stages consume the f>1 concats unmaterialized via
+    3x3 skip_w kernels."""
+    model, params = _build(no_scale, seed=14, v2=True, levels=1, belly_size=9,
+                           belly_planes=64, class_size=3)
+    x = jax.random.normal(jax.random.PRNGKey(15), (1, *hw, 3), jnp.float32)
+    base = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True,
+                                      pallas_fold_stem=True, pallas_deep=True)
+    np.testing.assert_allclose(np.asarray(fused.logits(x)),
+                               np.asarray(base.logits(x)),
+                               rtol=2e-4, atol=2e-4)
+    _assert_labels_match(fused, base, x)
 
 
 @pytest.mark.parametrize("no_scale,hw", [
