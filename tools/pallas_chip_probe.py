@@ -1,0 +1,159 @@
+"""On-chip probe for the Pallas fused-chain variants (r4).
+
+Runs on the real TPU: for each packed family x chain config, (1) compiles
+the REAL Mosaic kernels, (2) checks label agreement vs the XLA packed path
+on-device, (3) measures head-to-head fps with the bench methodology
+(value-fetch-synced windows, PERF.md #6/#6b). One JSON line per row so a
+mid-run kill keeps completed rows. Usage:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/pallas_chip_probe.py
+    [--families flagship,lp,pbfcn,v2] [--iters 600]
+
+The results belong in PERF.md (kept if faster / measured-negative if not)
+— this is the measurement side of VERDICT r3 item 2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _time(fn, x, iters):
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    y = fn(x)
+    np.asarray(jnp.ravel(y)[0])  # warm + first-fetch stall
+    t0 = time.perf_counter()
+    for _ in range(30):
+        y = fn(x)
+    np.asarray(jnp.ravel(y)[0])
+    per_call = (time.perf_counter() - t0) / 30
+    iters = max(3, min(iters, int(0.6 / max(per_call, 1e-6))))
+
+    def once():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fn(x)
+        np.asarray(jnp.ravel(y)[0])
+        return (time.perf_counter() - t0) / iters
+
+    return sorted(once() for _ in range(3))[1], iters
+
+
+def _agree(fa, fb, x):
+    import numpy as np
+
+    return float(np.mean(np.asarray(fa(x)) == np.asarray(fb(x))))
+
+
+def run(families, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from robocupvision_tpu.models import packed, zoo
+
+    jax.device_get(jnp.zeros(1))  # first-fetch stall out of the way
+
+    def emit(row):
+        print("ROW:" + json.dumps(row), flush=True)
+
+    def head_to_head(name, base, variants, x):
+        bfn = jax.jit(base.infer)
+        t, it = _time(bfn, x, iters)
+        emit({"row": name, "variant": "xla_packed", "fps": round(1 / t, 1),
+              "iters": it})
+        for vname, builder in variants:
+            try:
+                vi = builder()
+                vfn = jax.jit(vi.infer)
+                agree = _agree(vfn, bfn, x)
+                t, it = _time(vfn, x, iters)
+                emit({"row": name, "variant": vname,
+                      "fps": round(1 / t, 1), "agree": agree, "iters": it})
+            except Exception as e:
+                emit({"row": name, "variant": vname,
+                      "error": repr(e)[:300]})
+
+    if "flagship" in families:
+        m = zoo.make("robo_unet", no_scale=True)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 480, 640, 3),
+                              jnp.float32)
+        bb = packed.build_packed_infer(m, p, jnp.bfloat16)
+        head_to_head("flagship_vga_b1", bb, [
+            ("pallas", lambda: packed.build_packed_infer(
+                m, p, jnp.bfloat16, pallas=True)),
+            ("pallas_stem", lambda: packed.build_packed_infer(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True)),
+            ("pallas_stem_deep", lambda: packed.build_packed_infer(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                pallas_deep=True)),
+        ], x)
+
+    if "qvga" in families:
+        m = zoo.make("robo_unet")
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 120, 160, 3),
+                              jnp.float32)
+        bb = packed.build_packed_infer(m, p, jnp.bfloat16)
+        head_to_head("flagship_qvga_b1", bb, [
+            ("pallas_stem_deep", lambda: packed.build_packed_infer(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                pallas_deep=True)),
+        ], x)
+
+    if "lp" in families:
+        m = zoo.make("label_prop")
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 120, 160, 8),
+                              jnp.float32)
+        bb = packed.build_packed_label_prop(m, p, jnp.bfloat16)
+        head_to_head("label_prop_qvga_b1", bb, [
+            ("pallas_stem", lambda: packed.build_packed_label_prop(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True)),
+            ("pallas_stem_mid", lambda: packed.build_packed_label_prop(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                pallas_mid=True)),
+        ], x)
+
+    if "pbfcn" in families:
+        m = zoo.make("pb_fcn", no_scale=True)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 480, 640, 3),
+                              jnp.float32)
+        bb = packed.build_packed_pb_fcn(m, p, jnp.bfloat16)
+        head_to_head("pb_fcn_vga_b1", bb, [
+            ("pallas", lambda: packed.build_packed_pb_fcn(
+                m, p, jnp.bfloat16, pallas=True)),
+            ("pallas_deep", lambda: packed.build_packed_pb_fcn(
+                m, p, jnp.bfloat16, pallas=True, pallas_deep=True)),
+        ], x)
+
+    if "v2" in families:
+        m = zoo.make("robo_unet", no_scale=True, v2=True, levels=1,
+                     belly_size=9, belly_planes=64, class_size=3)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 480, 640, 3),
+                              jnp.float32)
+        bb = packed.build_packed_infer(m, p, jnp.bfloat16)
+        head_to_head("v2_vga_b1", bb, [
+            ("pallas_stem_deep", lambda: packed.build_packed_infer(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                pallas_deep=True)),
+        ], x)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families",
+                    default="flagship,qvga,lp,pbfcn,v2")
+    ap.add_argument("--iters", type=int, default=600)
+    a = ap.parse_args()
+    run(a.families.split(","), a.iters)
