@@ -489,7 +489,15 @@ class PackedInfer(_PackedBase):
         mut: Params = {}
         h = x.astype(self.dtype)
         feats = {}
-        if ch["fold_stem"]:
+        if ch["down"] is None:
+            # pool / deep-level plans: downs stay on the XLA packed path
+            # (maxpool is a lane op the chain kernel can't express); the
+            # fused up-region chain still covers the full-res half
+            for lvl in range(3):
+                for blk in plan.downs[lvl]:
+                    h = self._blk(blk, h, mut)
+                feats[lvl] = h
+        elif ch["fold_stem"]:
             # the chain consumes the RAW image; stage 0 is the grouped
             # space-to-depth stem kernel and emits feats0 itself
             feats[0], feats[1], feats[2] = ppk.fused_conv_chain(
@@ -996,16 +1004,22 @@ def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
         return _plain_stage(np_params, name, dtype, rbb=True, **kw)
 
     nI = cfg.levels  # convs per down level (Conv0 strided + nI-1 preserving)
-    down = [pk(f"downPart.Level1.layers.Conv{i}.conv", rbb=True)
-            for i in range(nI)]
-    down[-1] = dataclasses.replace(down[-1], emit=True)   # feats[1]
-    down.append(pk("downPart.Level2.layers.Conv0.conv", rbb=True))
-    for i in range(1, nI):  # Level2 grid-preserving convs are plain (f==1)
-        down.append(plain_block(f"downPart.Level2.layers.Conv{i}"))
-    down[-1] = dataclasses.replace(down[-1], emit=True)   # feats[2]
-    if fold_stem:
-        down.insert(0, pk("downPart.Level0.layers.Conv0.conv", rbb=True,
-                          emit=True, stem_f=4))
+    if cfg.pool or cfg.levels not in (1, 2):
+        # maxpool downs (a lane op the chain kernel can't express) or deep
+        # per-level conv runs: the downs stay on the XLA packed path and
+        # only the up region (the full-res half of the graph) fuses
+        down = None
+    else:
+        down = [pk(f"downPart.Level1.layers.Conv{i}.conv", rbb=True)
+                for i in range(nI)]
+        down[-1] = dataclasses.replace(down[-1], emit=True)   # feats[1]
+        down.append(pk("downPart.Level2.layers.Conv0.conv", rbb=True))
+        for i in range(1, nI):  # Level2 grid-preserving convs: plain (f==1)
+            down.append(plain_block(f"downPart.Level2.layers.Conv{i}"))
+        down[-1] = dataclasses.replace(down[-1], emit=True)   # feats[2]
+        if fold_stem:
+            down.insert(0, pk("downPart.Level0.layers.Conv0.conv", rbb=True,
+                              emit=True, stem_f=4))
     if cfg.v2:
         # concat skips: the consuming stage applies its split halves — w0 to
         # the chain-internal tconv output, w1 to the skip (concat note in
@@ -1085,9 +1099,12 @@ def build_packed_infer(model: Model, params: Params,
     plain = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
     chains = None
     if pallas:
-        assert not cfg.pool and cfg.levels in (1, 2) \
-            and cfg.class_size in (1, 3) and cfg.belly_size > 0, \
-            "pallas fused regions cover the strided-conv ROBO-UNet plans"
+        assert cfg.class_size in (1, 3), "class head kernels are 1x1/3x3"
+        full_downs = not cfg.pool and cfg.levels in (1, 2)
+        assert not (pallas_fold_stem and not full_downs), \
+            "fold_stem needs the fully-chained down region"
+        assert not (pallas_deep and not (full_downs and cfg.belly_size > 0)),\
+            "the deep chain covers strided plans with a PB belly"
         assert not (pallas_fold_stem and stem_group not in (0, 4)), \
             "the folded stem uses the group == f kernel"
         chains = _build_flagship_chains(cfg, packed, np_params, dtype,

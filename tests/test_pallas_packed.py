@@ -107,14 +107,36 @@ def test_pallas_chain_pb_fcn_2_matches_xla_packed():
     _assert_labels_match(fused, base, x)
 
 
-def test_pallas_gate_rejects_unsupported_plans():
-    # pool (maxpool downs) and belly-less plans stay on the XLA packed path
+def test_pallas_gate_rejects_unsupported_combos():
+    # fold_stem/deep need the fully-chained down region (strided, levels<=2,
+    # deep additionally a PB belly); pool/deep-level plans fall back to XLA
+    # downs with the up-region chain only
     model, params = _build(False, pool=True, levels=3, belly_size=0)
     with pytest.raises(AssertionError):
-        packed.build_packed_infer(model, params, pallas=True)
-    model, params = _build(False, levels=3, belly_size=0)
+        packed.build_packed_infer(model, params, pallas=True,
+                                  pallas_fold_stem=True)
     with pytest.raises(AssertionError):
-        packed.build_packed_infer(model, params, pallas=True)
+        packed.build_packed_infer(model, params, pallas=True,
+                                  pallas_deep=True)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(pool=True, levels=3, belly_size=0),    # --UNet hyper-table config
+    dict(levels=3, belly_size=0),               # off-table corner
+])
+def test_pallas_up_chain_only_matches_xla_packed(kw):
+    """Plans whose downs the chain kernel can't express (maxpool / deep
+    per-level runs) still fuse the up region + head."""
+    model, params = _build(False, seed=17, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(18), (1, 120, 160, 3),
+                          jnp.float32)
+    base = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.logits(x)),
+                               np.asarray(base.logits(x)),
+                               rtol=2e-4, atol=2e-4)
+    _assert_labels_match(fused, base, x)
 
 
 @pytest.mark.parametrize("no_scale,hw", [
