@@ -34,7 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                      "framework extension, export/aot.py)"),
                     ("--useCuda", "(accepted for compatibility; TPU is used)"),
                     ("--packed", "lane-packed inference graph "
-                     "(exact rewrite; framework extension)")]:
+                     "(exact rewrite; framework extension)"),
+                    ("--pallas", "with --packed: run the packed conv regions "
+                     "as fused Pallas chain kernels (exact rewrite; "
+                     "framework extension, ops/pallas_packed.py)")]:
         p.add_argument(flag, help=h, action="store_true", default=False)
     p.add_argument("--root", type=str, default=os.environ.get("ROBOCUP_DATA", "./data"))
     p.add_argument("--pipeline", type=int, default=1, metavar="DEPTH",
@@ -127,10 +130,16 @@ def main(argv=None) -> int:
     if opt.packed:
         from robocupvision_tpu.models import packed as packed_mod
 
-        # f32 keeps label maps byte-identical to the plain path
-        pi = (packed_mod.build_packed_infer(model, params_np, jnp.float32)
+        # f32 keeps label maps byte-identical to the plain path; --pallas
+        # compiles real Mosaic kernels on TPU (interpret mode elsewhere)
+        pk = dict(pallas=True,
+                  pallas_interpret=jax.default_backend() != "tpu") \
+            if opt.pallas else {}
+        pi = (packed_mod.build_packed_infer(model, params_np, jnp.float32,
+                                            **pk)
               if opt.v2 else
-              packed_mod.build_packed_pb_fcn(model, params_np, jnp.float32))
+              packed_mod.build_packed_pb_fcn(model, params_np, jnp.float32,
+                                             **pk))
         packed_infer = jax.jit(pi.infer)
 
         def infer(params, x):

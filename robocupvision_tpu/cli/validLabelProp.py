@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--packed", action="store_true", default=False,
                    help="lane-packed LP inference graph (exact rewrite; the "
                    "8-ch full-res input is the repo's worst lane-waste case)")
+    p.add_argument("--pallas", action="store_true", default=False,
+                   help="with --packed: fused Pallas chain kernels "
+                   "(exact rewrite; framework extension)")
     p.add_argument("--root", type=str,
                    default=os.environ.get("ROBOCUP_DATA", "./data"))
     return p
@@ -76,9 +79,13 @@ def main(argv=None) -> int:
         if opt.packed:
             from robocupvision_tpu.models import packed as packed_mod
 
-            # f32 keeps label maps byte-identical to the plain path
+            # f32 keeps label maps byte-identical to the plain path; --pallas
+            # compiles real Mosaic kernels on TPU (interpret mode elsewhere)
+            pk = dict(pallas=True, pallas_fold_stem=True, pallas_mid=True,
+                      pallas_interpret=jax.default_backend() != "tpu") \
+                if opt.pallas else {}
             pi = packed_mod.build_packed_label_prop(model, params_np,
-                                                    dtype=jnp.float32)
+                                                    dtype=jnp.float32, **pk)
             packed_infer = jax.jit(pi.infer)
 
             def infer(params, x):

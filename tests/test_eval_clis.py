@@ -119,6 +119,23 @@ def test_tester_cli_packed_matches_standard(env, monkeypatch, capsys):
     np.testing.assert_array_equal(np.asarray(Image.open("output/0.png")),
                                   mask_plain)
 
+    # --pallas (fused chain kernels; interpret mode on CPU): identical
+    # metrics, near-identical masks (float reassociation may flip argmax
+    # ties — the per-pixel tolerance is pinned by test_pallas_packed)
+    rc = cli_tester.main(["--root", env["root"], "--noScale", "--packed",
+                          "--pallas"])
+    assert rc == 0
+    out_pallas = capsys.readouterr().out
+    import re
+
+    def nums(s):
+        return [float(v) for l in metrics(s)
+                for v in re.findall(r"[\d.]+", l)]
+
+    np.testing.assert_allclose(nums(out_pallas), nums(out_plain), atol=1e-3)
+    mask_pallas = np.asarray(Image.open("output/0.png"))
+    assert np.mean(mask_pallas != mask_plain) < 1e-4
+
 
 def test_tester_cli_pipelined_matches_serial(env, monkeypatch, capsys):
     """tester.py --pipeline N (software-pipelined serving, utils/serving.py)

@@ -87,6 +87,11 @@ def test_label_prop_train_and_valid(env, monkeypatch, capsys):
     assert rc == 0
     assert "Mean IoU" in capsys.readouterr().out
 
+    # fused Pallas chains over the packed LP graph (interpret mode on CPU)
+    rc = validLabelProp.main(["--root", env["root"], "--packed", "--pallas"])
+    assert rc == 0
+    assert "Mean IoU" in capsys.readouterr().out
+
     # optical-flow baseline (no checkpoint needed)
     rc = validLabelProp.main(["--root", env["root"], "--optFlow"])
     assert rc == 0

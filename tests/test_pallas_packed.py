@@ -179,6 +179,105 @@ def test_pallas_chain_deep_matches_xla_packed_f32(no_scale, hw):
     _assert_labels_match(fused, base, x)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_conv_chain_fuzz_vs_xla(seed):
+    """Unit-level fuzz: random chains (K in {1,3}, dil in {1,2}, rbb/
+    conv-bn-relu/relu-only epilogues, identity and conv'd skips, emits,
+    multi-band grids with dilated stages) vs a composed XLA reference."""
+    from robocupvision_tpu.ops import nn
+    from robocupvision_tpu.ops.pallas_packed import (ChainStage,
+                                                     fused_conv_chain)
+
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 3))
+    H = int(rng.choice([8, 12, 16, 24]))
+    W = int(rng.choice([8, 16]))
+    band = int(rng.choice([b for b in (4, 8, H) if H % b == 0]))
+    cs = [int(rng.choice([8, 16])) for _ in range(6)]
+    x = jnp.asarray(rng.standard_normal((n, H, W, cs[0])) * 0.5, jnp.float32)
+    n_stages = int(rng.integers(2, 5))
+
+    skips, stages, want_feats = [], [], []
+    for k in range(n_stages):
+        cin, cout = cs[k], cs[k + 1]
+        K = int(rng.choice([1, 3])) if k else 3
+        dil = int(rng.choice([1, 2])) if K == 3 else 1
+        kw = dict(
+            w=jnp.asarray(rng.standard_normal((K, K, cin, cout)) * 0.3,
+                          jnp.float32),
+            b=rng.standard_normal(cout).astype(np.float32) * 0.1,
+            dil=dil, emit=bool(rng.integers(0, 2)),
+        )
+        mode = rng.choice(["affine_rbb", "affine", "relu", "none"])
+        if mode.startswith("affine"):
+            kw["scale"] = 0.5 + rng.random(cout).astype(np.float32)
+            kw["shift"] = rng.standard_normal(cout).astype(np.float32) * 0.1
+            kw["rbb"] = mode == "affine_rbb"
+        elif mode == "relu":
+            kw["relu_only"] = True
+        skip_mode = rng.choice(["none", "id", "conv1", "conv3"])
+        if skip_mode != "none":
+            kw["skip_idx"] = len(skips)
+            skips.append(jnp.asarray(
+                rng.standard_normal((n, H, W, cout if skip_mode == "id"
+                                     else cs[k + 2])) * 0.5, jnp.float32))
+            if skip_mode != "id":
+                ks = 1 if skip_mode == "conv1" else 3
+                kw["skip_w"] = jnp.asarray(
+                    rng.standard_normal((ks, ks, skips[-1].shape[-1], cout))
+                    * 0.3, jnp.float32)
+        stages.append(ChainStage(**kw))
+
+    # XLA reference
+    h = x
+    for st in stages:
+        y = nn.conv2d(h, st.w, padding=st.dil * (st.k // 2), dilation=st.dil)
+        if st.skip_w is not None:
+            y = y + nn.conv2d(skips[st.skip_idx], st.skip_w,
+                              padding=int(st.skip_w.shape[0]) // 2)
+        y = y + jnp.asarray(st.b)
+        if st.scale is not None:
+            s, sh = jnp.asarray(st.scale), jnp.asarray(st.shift)
+            y = nn.relu(y) * s + sh if st.rbb else nn.relu(y * s + sh)
+        elif st.relu_only:
+            y = nn.relu(y)
+        if st.skip_idx >= 0 and st.skip_w is None:
+            y = y + skips[st.skip_idx]
+        if st.emit:
+            want_feats.append(y)
+        h = y
+    if not stages[-1].emit:
+        want_feats.append(h)
+
+    got = fused_conv_chain(x, stages, skips=skips, band=band, interpret=True)
+    assert len(got) == len(want_feats)
+    for g, w in zip(got, want_feats):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_chain_banded_dilated():
+    """Deterministic multi-band + dil=2 geometry (the VGA LabelProp mid
+    chain shape: halo strips recomputed across band boundaries with
+    2-row reach)."""
+    from robocupvision_tpu.ops import nn
+    from robocupvision_tpu.ops.pallas_packed import (ChainStage,
+                                                     fused_conv_chain)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 60, 80, 16)) * 0.5, jnp.float32)
+    ws = [jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.3, jnp.float32)
+          for _ in range(3)]
+    stages = [ChainStage(w=w, b=np.zeros(16, np.float32), dil=2,
+                         relu_only=True) for w in ws]
+    want = x
+    for w in ws:
+        want = nn.relu(nn.conv2d(want, w, padding=2, dilation=2))
+    got = fused_conv_chain(x, stages, band=20, interpret=True)[-1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def _randomized_params(model, seed):
     """init() params with perturbed BN running stats so the BN fold is
     actually exercised (init gives rm=0, rv=1)."""
