@@ -97,6 +97,25 @@ def run(families, iters):
                 pallas_deep=True)),
         ], x)
 
+    if "bands" in families:
+        # row-band sweep on the flagship VGA chain: smaller bands recompute
+        # more halo rows but stream smaller scratch strips through VMEM
+        m = zoo.make("robo_unet", no_scale=True)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 480, 640, 3),
+                              jnp.float32)
+        for band in (12, 15, 20, 24, 30, 40, 60):
+            try:
+                vi = packed.build_packed_infer(
+                    m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                    pallas_band=band)
+                t, it = _time(jax.jit(vi.infer), x, iters)
+                emit({"row": "flagship_vga_band_sweep", "band": band,
+                      "fps": round(1 / t, 1), "iters": it})
+            except Exception as e:
+                emit({"row": "flagship_vga_band_sweep", "band": band,
+                      "error": repr(e)[:200]})
+
     if "qvga" in families:
         m = zoo.make("robo_unet")
         p = m.init(jax.random.PRNGKey(0))
