@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -53,7 +54,51 @@ def _agree(fa, fb, x):
     return float(np.mean(np.asarray(fa(x)) == np.asarray(fb(x))))
 
 
-def run(families, iters):
+def _device_trace_us_per_call(fn, x, calls=50):
+    """Device-track busy span per call (transport-noise-free — PERF.md
+    'phantom timings'): run ``calls`` under jax.profiler.trace and divide
+    the device process's [first event start, last event end] by calls.
+    Returns None if tracing/parsing fails."""
+    import glob
+    import gzip
+    import tempfile
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                for _ in range(calls):
+                    y = fn(x)
+                np.asarray(jnp.ravel(y)[0])
+            files = glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                              recursive=True)
+            if not files:
+                return None
+            with gzip.open(files[0], "rt") as f:
+                trace = json.load(f)
+        ev = trace.get("traceEvents", [])
+        pid_names = {e["pid"]: str(e.get("args", {}).get("name", ""))
+                     for e in ev
+                     if e.get("ph") == "M" and e.get("name") == "process_name"}
+        dev_pids = {p for p, nm in pid_names.items()
+                    if ("TPU" in nm or "/device" in nm)
+                    and "host" not in nm.lower()}
+        spans = [(e["ts"], e["ts"] + e.get("dur", 0.0)) for e in ev
+                 if e.get("ph") == "X" and e.get("pid") in dev_pids]
+        if len(spans) < calls:
+            return None
+        t0 = min(a for a, _ in spans)
+        t1 = max(b for _, b in spans)
+        return (t1 - t0) / calls if t1 > t0 else None
+    except Exception:
+        return None
+
+
+def run(families, iters, trace=False):
     import jax
     import jax.numpy as jnp
 
@@ -67,16 +112,26 @@ def run(families, iters):
     def head_to_head(name, base, variants, x):
         bfn = jax.jit(base.infer)
         t, it = _time(bfn, x, iters)
-        emit({"row": name, "variant": "xla_packed", "fps": round(1 / t, 1),
-              "iters": it})
+        row = {"row": name, "variant": "xla_packed", "fps": round(1 / t, 1),
+               "iters": it}
+        if trace:
+            us = _device_trace_us_per_call(bfn, x)
+            if us:
+                row["device_us_per_frame"] = round(us, 1)
+        emit(row)
         for vname, builder in variants:
             try:
                 vi = builder()
                 vfn = jax.jit(vi.infer)
                 agree = _agree(vfn, bfn, x)
                 t, it = _time(vfn, x, iters)
-                emit({"row": name, "variant": vname,
-                      "fps": round(1 / t, 1), "agree": agree, "iters": it})
+                row = {"row": name, "variant": vname,
+                       "fps": round(1 / t, 1), "agree": agree, "iters": it}
+                if trace:
+                    us = _device_trace_us_per_call(vfn, x)
+                    if us:
+                        row["device_us_per_frame"] = round(us, 1)
+                emit(row)
             except Exception as e:
                 emit({"row": name, "variant": vname,
                       "error": repr(e)[:300]})
@@ -172,7 +227,10 @@ def run(families, iters):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--families",
-                    default="flagship,qvga,lp,pbfcn,v2")
+                    default="flagship,qvga,lp,pbfcn,v2",
+                    help="comma list from: flagship,bands,qvga,lp,pbfcn,v2")
     ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--trace", action="store_true", default=False,
+                    help="also report device-trace us/frame per variant")
     a = ap.parse_args()
-    run(a.families.split(","), a.iters)
+    run(a.families.split(","), a.iters, a.trace)
