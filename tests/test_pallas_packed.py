@@ -107,6 +107,34 @@ def test_pallas_chain_pb_fcn_2_matches_xla_packed():
     _assert_labels_match(fused, base, x)
 
 
+def test_pallas_serving_data_parallel_shard_map():
+    """Data-parallel pallas serving: shard_map partitions the batch across
+    the 8-device mesh and each replica runs the fused chains on its local
+    shard (GSPMD can't see inside a pallas_call, so shard_map is the
+    production form for pallas serving replicas). Labels match the
+    single-device fused graph exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from robocupvision_tpu.parallel import mesh as pmesh
+
+    model, params = _build(False, seed=19)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True)
+    x = jax.random.normal(jax.random.PRNGKey(20), (8, 64, 64, 3), jnp.float32)
+
+    mesh = pmesh.make_mesh(8, spatial=1)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    # check_vma=False: pallas_call out_shapes carry no vma annotation
+    sharded_infer = jax.jit(jax.shard_map(fused.infer, mesh=mesh,
+                                          in_specs=P("data"),
+                                          out_specs=P("data"),
+                                          check_vma=False))
+    labels = sharded_infer(xs)
+    assert len(labels.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(labels),
+                                  np.asarray(fused.infer(x)))
+
+
 def test_pallas_gate_rejects_unsupported_combos():
     # fold_stem/deep need the fully-chained down region (strided, levels<=2,
     # deep additionally a PB belly); pool/deep-level plans fall back to XLA
