@@ -107,6 +107,41 @@ def test_pallas_chain_pb_fcn_2_matches_xla_packed():
     _assert_labels_match(fused, base, x)
 
 
+@pytest.mark.parametrize("family", ["v2", "label_prop", "pb_fcn"])
+def test_pallas_chain_bf16_label_agreement_families(family):
+    """bf16 (the serving dtype) agreement for the non-flagship families:
+    the chain rounds inter-stage activations to bf16 in VMEM scratch just
+    as XLA rounds its inter-fusion tensors."""
+    rng = np.random.default_rng(51)
+    if family == "v2":
+        model = zoo.make("robo_unet", v2=True, levels=1, belly_size=9,
+                         belly_planes=64, class_size=3)
+        params = _randomized_params(model, 52)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        base = packed.build_packed_infer(model, params, dtype=jnp.bfloat16)
+        fused = packed.build_packed_infer(
+            model, params, dtype=jnp.bfloat16, pallas=True,
+            pallas_interpret=True, pallas_fold_stem=True, pallas_deep=True)
+    elif family == "label_prop":
+        model = zoo.make("label_prop")
+        params = _randomized_params(model, 53)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 8)), jnp.float32)
+        base = packed.build_packed_label_prop(model, params, jnp.bfloat16)
+        fused = packed.build_packed_label_prop(
+            model, params, jnp.bfloat16, pallas=True, pallas_interpret=True,
+            pallas_fold_stem=True, pallas_mid=True)
+    else:
+        model = zoo.make("pb_fcn")
+        params = _randomized_params(model, 54)
+        x = jnp.asarray(rng.standard_normal((1, 32, 64, 3)), jnp.float32)
+        base = packed.build_packed_pb_fcn(model, params, jnp.bfloat16)
+        fused = packed.build_packed_pb_fcn(
+            model, params, jnp.bfloat16, pallas=True, pallas_interpret=True,
+            pallas_deep=True)
+    agree = np.mean(np.asarray(fused.infer(x)) == np.asarray(base.infer(x)))
+    assert agree > 0.995, agree
+
+
 def test_pallas_serving_data_parallel_shard_map():
     """Data-parallel pallas serving: shard_map partitions the batch across
     the 8-device mesh and each replica runs the fused chains on its local
