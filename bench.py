@@ -321,43 +321,16 @@ def _device_trace_steps_per_sec(step_fn, state, steps: int):
     Runs ``steps`` under jax.profiler.trace and derives steps/s from the
     device track's busy span. Returns None if tracing/parsing fails —
     the wall number still stands alone in that case."""
-    import glob
-    import gzip
-    import tempfile
+    from robocupvision_tpu.utils.profiling import device_busy_span_us
 
-    import jax
+    def run():
+        s = state
+        for i in range(steps):
+            s, m = step_fn(i, s)
+        float(m["loss"])
 
-    try:
-        with tempfile.TemporaryDirectory() as td:
-            with jax.profiler.trace(td):
-                s = state
-                for i in range(steps):
-                    s, m = step_fn(i, s)
-                float(m["loss"])
-            files = glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
-                              recursive=True)
-            if not files:
-                return None
-            with gzip.open(files[0], "rt") as f:
-                trace = json.load(f)
-        ev = trace.get("traceEvents", [])
-        pid_names = {e["pid"]: str(e.get("args", {}).get("name", ""))
-                     for e in ev
-                     if e.get("ph") == "M" and e.get("name") == "process_name"}
-        dev_pids = {p for p, nm in pid_names.items()
-                    if ("TPU" in nm or "/device" in nm) and
-                    "host" not in nm.lower()}
-        spans = [(e["ts"], e["ts"] + e.get("dur", 0.0)) for e in ev
-                 if e.get("ph") == "X" and e.get("pid") in dev_pids]
-        if len(spans) < steps:
-            return None
-        t0 = min(a for a, _ in spans)
-        t1 = max(b for _, b in spans)
-        if t1 <= t0:
-            return None
-        return steps / ((t1 - t0) / 1e6)
-    except Exception:
-        return None
+    span_us = device_busy_span_us(run, steps)
+    return steps / (span_us / 1e6) if span_us else None
 
 
 def bench_train_steps():
@@ -657,11 +630,19 @@ def _run_stage(stage: str):
 _BOOT_TIMEOUT = float(os.environ.get("BENCH_BOOT_TIMEOUT_SECS", "90"))
 
 
-def _outage_probe(cap: float) -> bool:
+def _outage_probe(cap: float) -> tuple:
     """Can a fresh process init the backend and complete one D2H fetch within
     ``cap`` seconds? The tunnel's outage phases hang EVERY process's backend
     init in futex wait (CLAUDE.md; 60+ min observed on Aug 17), so a capped
-    child interpreter is the only safe way to ask."""
+    child interpreter is the only safe way to ask.
+
+    Returns ``(status, detail)`` with status one of:
+    - ``"ok"``     — backend up;
+    - ``"stall"``  — the child hit the cap (outage phase: wait + re-probe);
+    - ``"broken"`` — the child EXITED without PROBE_OK (ImportError, plugin
+      regression, …). That is a deterministic failure, not an outage — the
+      caller must NOT burn the budget sleeping on it; detail carries the
+      stderr tail for the artifact."""
     import subprocess
 
     src = ("import jax, jax.numpy as jnp; jax.devices(); "
@@ -671,9 +652,13 @@ def _outage_probe(cap: float) -> bool:
     try:
         proc = subprocess.run([sys.executable, "-c", src], env=env,
                               capture_output=True, text=True, timeout=cap)
-        return "PROBE_OK" in proc.stdout
-    except Exception:
-        return False
+    except subprocess.TimeoutExpired:
+        return "stall", f"no PROBE_OK within {cap:.0f}s"
+    except Exception as e:  # spawn failure — deterministic
+        return "broken", repr(e)[:300]
+    if "PROBE_OK" in proc.stdout:
+        return "ok", ""
+    return "broken", (proc.stderr or proc.stdout or "")[-300:].strip()
 
 
 def _stage_subprocess(stage: str, budget: float,
@@ -949,14 +934,27 @@ def main():
     # schedule. The final JSON always carries `last_good`, so even a
     # full-outage run is evidence-bearing.
     probe_cap = float(os.environ.get("BENCH_PROBE_CAP_SECS", "120"))
-    if not _outage_probe(min(probe_cap, max(_left() - 120, 30.0))):
+    status, detail = _outage_probe(min(probe_cap, max(_left() - 120, 30.0)))
+    if status == "broken":
+        # Deterministic child failure (ImportError / plugin regression):
+        # NOT an outage. Record the actual error and fall through to the
+        # stages — their own stderr is the debuggable evidence; sleeping
+        # the budget away here would misattribute it to infrastructure.
+        extra["outage_probe_error"] = detail
+        emit()
+    elif status == "stall":
         extra["infra_init_stall_kills"] = 1
         extra["outage_probe_failures"] = 1
         emit()
         recovered = False
         while _left() > 180:
             time.sleep(min(45.0, max(_left() - 150.0, 1.0)))
-            if _outage_probe(min(90.0, _left() - 90.0)):
+            status, detail = _outage_probe(min(90.0, _left() - 90.0))
+            if status == "ok":
+                recovered = True
+                break
+            if status == "broken":  # turned deterministic: stop sleeping
+                extra["outage_probe_error"] = detail
                 recovered = True
                 break
             extra["outage_probe_failures"] += 1

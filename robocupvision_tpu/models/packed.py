@@ -41,6 +41,7 @@ Measured (BENCH/PERF.md): VGA b1 2.24 ms -> ~0.4 ms (bf16).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -978,6 +979,18 @@ def _plain_stage(np_params: Params, name: str, dtype, rbb: bool, **kw):
                       rbb=rbb, **kw)
 
 
+def _packed_stage(packed: Params, prefix: str, **kw):
+    """ChainStage from a packed-params block: the scatter-packed conv
+    kernel + bias plus its folded-BN per-channel affine. Single lookup
+    point for the packed key scheme (``<prefix>.{w,b,scale,shift}``) —
+    every family's chain builder goes through here."""
+    from robocupvision_tpu.ops.pallas_packed import ChainStage
+
+    return ChainStage(w=packed[prefix + ".w"], b=packed[prefix + ".b"],
+                      scale=packed[prefix + ".scale"],
+                      shift=packed[prefix + ".shift"], **kw)
+
+
 def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
                            np_params: Params, dtype,
                            interpret: bool, band,
@@ -995,10 +1008,7 @@ def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
 
     D = cfg.eff_depth
 
-    def pk(prefix, **kw):
-        return ChainStage(w=packed[prefix + ".w"], b=packed[prefix + ".b"],
-                          scale=packed[prefix + ".scale"],
-                          shift=packed[prefix + ".shift"], **kw)
+    pk = functools.partial(_packed_stage, packed)
 
     def plain_block(name, **kw):
         return _plain_stage(np_params, name, dtype, rbb=True, **kw)
@@ -1149,11 +1159,7 @@ def build_packed_label_prop(model: Model, params: Params,
     if pallas:
         from robocupvision_tpu.ops.pallas_packed import ChainStage
 
-        def pk(prefix, **kw):
-            return ChainStage(w=packed[prefix + ".w"],
-                              b=packed[prefix + ".b"],
-                              scale=packed[prefix + ".scale"],
-                              shift=packed[prefix + ".shift"], **kw)
+        pk = functools.partial(_packed_stage, packed)
 
         down = [pk("down1.conv", rbb=False, emit=True),
                 pk("down2.conv", rbb=False)]
@@ -1193,11 +1199,7 @@ def build_packed_pb_fcn(model: Model, params: Params,
     if pallas:
         from robocupvision_tpu.ops.pallas_packed import ChainStage
 
-        def pk(prefix, **kw):
-            return ChainStage(w=packed[prefix + ".w"],
-                              b=packed[prefix + ".b"],
-                              scale=packed[prefix + ".scale"],
-                              shift=packed[prefix + ".shift"], **kw)
+        pk = functools.partial(_packed_stage, packed)
 
         # no fold_stem variant: the PB_FCN stem (FCN.conv0) is DILATED, which
         # pack_stem_weight_grouped's raw-image kernel doesn't encode — the

@@ -39,6 +39,55 @@ def time_fn(fn: Callable, *args, iters: int = 50, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def device_busy_span_us(run: Callable[[], None],
+                        min_events: int) -> Optional[float]:
+    """Device-track busy span of ``run()`` in microseconds, or None.
+
+    Ground truth for rates over the axon tunnel (PERF.md "phantom
+    timings": wall clocks carry RTT/dispatch noise; only the profiler's
+    device track is trustworthy). Executes ``run`` — which must itself
+    end with a value fetch so the device work is complete — under
+    jax.profiler.trace, then parses the trace for the device process's
+    [first event start, last event end] span. Returns None when tracing
+    or parsing fails, or fewer than ``min_events`` device events landed
+    (callers fall back to their wall number).
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    import jax
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                run()
+            files = glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                              recursive=True)
+            if not files:
+                return None
+            with gzip.open(files[0], "rt") as f:
+                trace = json.load(f)
+        ev = trace.get("traceEvents", [])
+        pid_names = {e["pid"]: str(e.get("args", {}).get("name", ""))
+                     for e in ev
+                     if e.get("ph") == "M" and e.get("name") == "process_name"}
+        dev_pids = {p for p, nm in pid_names.items()
+                    if ("TPU" in nm or "/device" in nm)
+                    and "host" not in nm.lower()}
+        spans = [(e["ts"], e["ts"] + e.get("dur", 0.0)) for e in ev
+                 if e.get("ph") == "X" and e.get("pid") in dev_pids]
+        if len(spans) < min_events:
+            return None
+        t0 = min(a for a, _ in spans)
+        t1 = max(b for _, b in spans)
+        return (t1 - t0) if t1 > t0 else None
+    except Exception:
+        return None
+
+
 def flops_report(model, params=None, pruned: bool = False) -> str:
     """Analytic per-layer op counts for supported families (ROBO-UNet)."""
     from robocupvision_tpu.models import zoo

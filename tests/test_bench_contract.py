@@ -88,6 +88,25 @@ def test_outage_probe_times_out_fast_and_recovers(bench, monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     monkeypatch.setenv("PYTHONPATH", "/root/repo")
     t0 = time.monotonic()
-    assert bench._outage_probe(0.2) is False
+    status, _ = bench._outage_probe(0.2)
+    assert status == "stall"
     assert time.monotonic() - t0 < 5.0
-    assert bench._outage_probe(120.0) is True
+    status, detail = bench._outage_probe(120.0)
+    assert status == "ok", detail
+
+
+def test_outage_probe_reports_deterministic_failure_as_broken(
+        bench, monkeypatch):
+    """A probe child that EXITS with an error (ImportError, plugin
+    regression) is a deterministic failure, not an outage — the bench must
+    not sleep its budget away on it (r4 review finding). Simulated by
+    breaking the child's jax import via PYTHONPATH."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        with open(td + "/jax.py", "w") as f:
+            f.write("raise ImportError('broken plugin — simulated')\n")
+        monkeypatch.setenv("PYTHONPATH", td)
+        status, detail = bench._outage_probe(60.0)
+    assert status == "broken"
+    assert "broken plugin" in detail

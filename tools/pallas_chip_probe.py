@@ -49,53 +49,38 @@ def _time(fn, x, iters):
 
 
 def _agree(fa, fb, x):
-    import numpy as np
+    """Label agreement computed ON DEVICE, fetched as one scalar.
 
-    return float(np.mean(np.asarray(fa(x)) == np.asarray(fb(x))))
+    Never bulk-fetch the full label maps here: a bulk D2H in this process
+    would degrade every SUBSEQUENT timed window to ~RTT per dispatch
+    (PERF.md #6 — the r3 phantom-slowness finding), silently turning the
+    head-to-head into a measured-negative for whichever variant runs
+    after the first parity check."""
+    import jax
+    import jax.numpy as jnp
+
+    cmp = jax.jit(
+        lambda v: jnp.mean((fa(v) == fb(v)).astype(jnp.float32)))
+    return float(cmp(x))
 
 
 def _device_trace_us_per_call(fn, x, calls=50):
     """Device-track busy span per call (transport-noise-free — PERF.md
-    'phantom timings'): run ``calls`` under jax.profiler.trace and divide
-    the device process's [first event start, last event end] by calls.
+    'phantom timings'). Shared parser: utils/profiling.device_busy_span_us.
     Returns None if tracing/parsing fails."""
-    import glob
-    import gzip
-    import tempfile
-
     import numpy as np
 
-    import jax
     import jax.numpy as jnp
 
-    try:
-        with tempfile.TemporaryDirectory() as td:
-            with jax.profiler.trace(td):
-                for _ in range(calls):
-                    y = fn(x)
-                np.asarray(jnp.ravel(y)[0])
-            files = glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
-                              recursive=True)
-            if not files:
-                return None
-            with gzip.open(files[0], "rt") as f:
-                trace = json.load(f)
-        ev = trace.get("traceEvents", [])
-        pid_names = {e["pid"]: str(e.get("args", {}).get("name", ""))
-                     for e in ev
-                     if e.get("ph") == "M" and e.get("name") == "process_name"}
-        dev_pids = {p for p, nm in pid_names.items()
-                    if ("TPU" in nm or "/device" in nm)
-                    and "host" not in nm.lower()}
-        spans = [(e["ts"], e["ts"] + e.get("dur", 0.0)) for e in ev
-                 if e.get("ph") == "X" and e.get("pid") in dev_pids]
-        if len(spans) < calls:
-            return None
-        t0 = min(a for a, _ in spans)
-        t1 = max(b for _, b in spans)
-        return (t1 - t0) / calls if t1 > t0 else None
-    except Exception:
-        return None
+    from robocupvision_tpu.utils.profiling import device_busy_span_us
+
+    def run():
+        for _ in range(calls):
+            y = fn(x)
+        np.asarray(jnp.ravel(y)[0])
+
+    span_us = device_busy_span_us(run, calls)
+    return span_us / calls if span_us else None
 
 
 def run(families, iters, trace=False):
