@@ -1,0 +1,34 @@
+#!/bin/bash
+# r4 chip-measurement session: runs the round's on-chip agenda once the
+# tunnel is up. Each block is a FRESH process (PERF.md #6: parity bulk
+# fetches and timing must not share a process; init stalls re-roll per
+# process). Appends everything to $LOG; safe to re-run.
+#
+#   LOG=/tmp/r4_chip.log bash tools/r4_chip_session.sh
+#
+# Order: probe head-to-heads first (the round's open question — is the
+# fused-chain Pallas path faster than XLA packed?), then full driver-style
+# bench runs for docs/BENCH_RUNS_r4.md.
+set -u
+LOG="${LOG:-/tmp/r4_chip.log}"
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+cd /root/repo
+
+stamp() { echo "=== $1 — $(date -u +%FT%TZ) ===" >> "$LOG"; }
+
+stamp "probe: flagship+qvga (trace)"
+timeout 1500 python tools/pallas_chip_probe.py \
+    --families flagship,qvga --trace >> "$LOG" 2>&1
+stamp "probe: lp,pbfcn,v2 (trace)"
+timeout 1500 python tools/pallas_chip_probe.py \
+    --families lp,pbfcn,v2 --trace >> "$LOG" 2>&1
+stamp "probe: band sweep"
+timeout 900 python tools/pallas_chip_probe.py --families bands >> "$LOG" 2>&1
+
+for run in 1 2 3; do
+    stamp "bench run $run (driver-style)"
+    timeout 1500 python bench.py >> "$LOG" 2>&1
+    echo "bench run $run rc=$?" >> "$LOG"
+done
+stamp "DONE"
