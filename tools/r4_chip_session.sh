@@ -2,7 +2,9 @@
 # r4 chip-measurement session: runs the round's on-chip agenda once the
 # tunnel is up. Each block is a FRESH process (PERF.md #6: parity bulk
 # fetches and timing must not share a process; init stalls re-roll per
-# process). Appends everything to $LOG; safe to re-run.
+# process) and is retried once — the tunnel's init stalls hit roughly
+# every other process (CLAUDE.md). Appends everything to $LOG; safe to
+# re-run.
 #
 #   LOG=/tmp/r4_chip.log bash tools/r4_chip_session.sh
 #
@@ -17,14 +19,22 @@ cd /root/repo
 
 stamp() { echo "=== $1 — $(date -u +%FT%TZ) ===" >> "$LOG"; }
 
-stamp "probe: flagship+qvga (trace)"
-timeout 1500 python tools/pallas_chip_probe.py \
-    --families flagship,qvga --trace >> "$LOG" 2>&1
-stamp "probe: lp,pbfcn,v2 (trace)"
-timeout 1500 python tools/pallas_chip_probe.py \
-    --families lp,pbfcn,v2 --trace >> "$LOG" 2>&1
-stamp "probe: band sweep"
-timeout 900 python tools/pallas_chip_probe.py --families bands >> "$LOG" 2>&1
+try2() {  # try2 <cap_secs> <label> <cmd...>: one retry on non-zero rc
+    local cap="$1" label="$2"; shift 2
+    for attempt in 1 2; do
+        stamp "$label (attempt $attempt)"
+        timeout "$cap" "$@" >> "$LOG" 2>&1 && return 0
+        echo "rc=$? (attempt $attempt)" >> "$LOG"
+    done
+    return 1
+}
+
+try2 1500 "probe: flagship+qvga (trace)" \
+    python tools/pallas_chip_probe.py --families flagship,qvga --trace
+try2 1500 "probe: lp,pbfcn,v2 (trace)" \
+    python tools/pallas_chip_probe.py --families lp,pbfcn,v2 --trace
+try2 900 "probe: band sweep" \
+    python tools/pallas_chip_probe.py --families bands
 
 for run in 1 2 3; do
     stamp "bench run $run (driver-style)"
