@@ -319,16 +319,29 @@ class _PackedBase:
         (up to float reassociation) match of the zoo apply."""
         return depth_to_space(self._logits_packed(x), 4)
 
+    def _labels_packed(self, x: jax.Array) -> jax.Array:
+        """(N, H/4, W/4, 16) int32 per-phase labels. Chain (pallas) graphs
+        fuse this argmax into the head stage's kernel
+        (ops/pallas_packed.ChainStage.argmax_groups) — no separate XLA
+        argmax fusion, and the head's HBM write shrinks from f^2*C logits
+        to f^2 labels; the XLA packed path argmaxes the packed logits.
+        ``pallas_argmax_head=False`` (builder knob) keeps the logits head
+        + XLA argmax, as the on-chip ablation / Mosaic-support fallback."""
+        ch = getattr(self, "chains", None)
+        if ch is not None and ch.get("argmax_head", True):
+            return self._logits_packed(x, argmax=True)
+        lp = self._logits_packed(x)
+        n, hp, wp, _ = lp.shape
+        return jnp.argmax(lp.reshape(n, hp, wp, 16, self.cfg.num_classes),
+                          axis=-1).astype(jnp.int32)
+
     def infer(self, x: jax.Array) -> jax.Array:
         """(N, H, W, Cin) input -> (N, H, W) int32 label map. The argmax
         runs in the packed domain (per-phase over num_classes) so no
         wide-lane full-res buffer is ever materialized. (The depth-to-space
         stays s32: a u8 variant measured SLOWER on v5e — 1672 vs 1808 fps —
         TPU sublane transposes handle 32-bit better than packed 8-bit.)"""
-        lp = self._logits_packed(x)
-        n, hp, wp, _ = lp.shape
-        lab = jnp.argmax(lp.reshape(n, hp, wp, 16, self.cfg.num_classes),
-                         axis=-1).astype(jnp.int32)
+        lab = self._labels_packed(x)
         return depth_to_space(lab, 4)[..., 0]  # 16 phases == f^2 * (C=1)
 
     def infer_u8(self, x: jax.Array) -> jax.Array:
@@ -354,11 +367,7 @@ class _PackedBase:
         frame) rearranges the readback into the (N, H, W) map. Same bytes
         on the wire; removes the device-side label transpose entirely."""
         def device_fn(x):
-            lp = self._logits_packed(x)
-            n, hp, wp, _ = lp.shape
-            return jnp.argmax(
-                lp.reshape(n, hp, wp, 16, self.cfg.num_classes),
-                axis=-1).astype(jnp.uint8)
+            return self._labels_packed(x).astype(jnp.uint8)
 
         def host_unpack(packed_labels):
             a = np.asarray(packed_labels)
@@ -446,9 +455,10 @@ class PackedInfer(_PackedBase):
     # (ops/pallas_packed.py) instead of separate XLA conv fusions
     chains: Optional[dict] = None
 
-    def _logits_packed(self, x: jax.Array) -> jax.Array:
+    def _logits_packed(self, x: jax.Array, argmax: bool = False) -> jax.Array:
         if self.chains is not None:
-            return self._logits_packed_pallas(x)
+            return self._logits_packed_pallas(x, argmax)
+        assert not argmax  # fused argmax is a chain-head epilogue
         cfg, p, plan = self.cfg, self.plain, self.plan
         mut: Params = {}
         h = x.astype(self.dtype)
@@ -477,12 +487,14 @@ class PackedInfer(_PackedBase):
                 up = y + skip
         return self._blk(plan.head, up, mut)
 
-    def _logits_packed_pallas(self, x: jax.Array) -> jax.Array:
+    def _logits_packed_pallas(self, x: jax.Array,
+                              argmax: bool = False) -> jax.Array:
         """Flagship plan with the two packed-grid conv regions fused into
         Pallas kernels: [L1C0, L1C1, L2C0, L2C1] after the stem and
         [Up(D-3)+skip, Up(D-2)+skip, head] before the output — the exact
         stages whose inter-fusion relayout copies dominate the XLA
-        profile (PERF.md r3)."""
+        profile (PERF.md r3). ``argmax``: the head stage emits fused
+        per-phase int32 labels (serving form) instead of logits."""
         from robocupvision_tpu.ops import pallas_packed as ppk
 
         cfg, p, plan = self.cfg, self.plain, self.plan
@@ -537,7 +549,8 @@ class PackedInfer(_PackedBase):
             # v2 concats at f==1 are materialized (cheap at plain lanes);
             # the chain's split2 stages consume the f>1 ones unmaterialized
             up = jnp.concatenate([y, skip], axis=-1) if plan.v2 else y + skip
-        out = ppk.fused_conv_chain(up, ch["up"], skips=[feats[1], feats[0]],
+        up_ch = ppk.with_argmax_head(ch["up"], 16) if argmax else ch["up"]
+        out = ppk.fused_conv_chain(up, up_ch, skips=[feats[1], feats[0]],
                                    interpret=ch["interpret"], band=ch["band"])
         return out[-1]
 
@@ -557,11 +570,12 @@ class PackedLabelPropInfer(_PackedBase):
                            # pack_stem_weight_grouped docstring)
     chains: Optional[dict] = None   # Pallas fused regions (pallas=True)
 
-    def _logits_packed(self, x: jax.Array) -> jax.Array:
+    def _logits_packed(self, x: jax.Array, argmax: bool = False) -> jax.Array:
         p = self.plain
         mut: Params = {}
         h = x.astype(self.dtype)
         ch = self.chains
+        assert not argmax or ch is not None  # fused argmax = chain head
 
         def cps(name, x, stride, padding, dilation):
             return L.conv_pool_simple(p, mut, name, x, stride, padding,
@@ -601,7 +615,9 @@ class PackedLabelPropInfer(_PackedBase):
         if ch is not None:
             from robocupvision_tpu.ops import pallas_packed as ppk
 
-            return ppk.fused_conv_chain(h, ch["up"], skips=[middle, top],
+            up_ch = ppk.with_argmax_head(ch["up"], 16) if argmax \
+                else ch["up"]
+            return ppk.fused_conv_chain(h, up_ch, skips=[middle, top],
                                         interpret=ch["interpret"],
                                         band=ch["band"])[-1]
         h = middle + self._blk(_Blk("ptconv", "upConv2", 1, 2, rbb=False),
@@ -650,9 +666,10 @@ class PackedPBFCNInfer(_PackedBase):
     dtype: jnp.dtype
     chains: Optional[dict] = None   # Pallas fused regions (pallas=True)
 
-    def _logits_packed(self, x: jax.Array) -> jax.Array:
+    def _logits_packed(self, x: jax.Array, argmax: bool = False) -> jax.Array:
         cfg, p = self.cfg, self.plain
         ch = self.chains
+        assert not argmax or ch is not None  # fused argmax = chain head
         dc = ch.get("deep") if ch is not None else None
         mut: Params = {}
         blks = {b.kind + ":" + b.name: b for b in _pb_fcn_blks(cfg)}
@@ -710,7 +727,9 @@ class PackedPBFCNInfer(_PackedBase):
             for j in range(n_up - 2):  # f==1 ups stay on the plain path
                 up = self._blk(blks[f"ptconv:up{j + 1}"], up, mut) \
                     + feats[n_up - 1 - j]
-            return ppk.fused_conv_chain(up, ch["up"], skips=[x1, x0],
+            up_ch = ppk.with_argmax_head(ch["up"], 16) if argmax \
+                else ch["up"]
+            return ppk.fused_conv_chain(up, up_ch, skips=[x1, x0],
                                         interpret=ch["interpret"],
                                         band=ch["band"])[-1]
         for j in range(n_up):
@@ -1076,7 +1095,8 @@ def build_packed_infer(model: Model, params: Params,
                        pallas_interpret: bool = False,
                        pallas_band: Optional[int] = None,
                        pallas_fold_stem: bool = False,
-                       pallas_deep: bool = False) -> PackedInfer:
+                       pallas_deep: bool = False,
+                       pallas_argmax_head: bool = True) -> PackedInfer:
     """Compile a trained ROBO-UNet for TPU inference (exact rewrite).
 
     Supports the whole deployed ROBO-UNet family (reference model.py:461-536,
@@ -1120,6 +1140,7 @@ def build_packed_infer(model: Model, params: Params,
         chains = _build_flagship_chains(cfg, packed, np_params, dtype,
                                         pallas_interpret, pallas_band,
                                         pallas_fold_stem, pallas_deep)
+        chains["argmax_head"] = pallas_argmax_head
     return PackedInfer(cfg, plan, packed, plain, dtype, chains)
 
 
@@ -1129,7 +1150,8 @@ def build_packed_label_prop(model: Model, params: Params,
                             pallas_interpret: bool = False,
                             pallas_band: Optional[int] = None,
                             pallas_fold_stem: bool = False,
-                            pallas_mid: bool = False
+                            pallas_mid: bool = False,
+                            pallas_argmax_head: bool = True
                             ) -> PackedLabelPropInfer:
     """Compile a trained LabelProp net for TPU inference (exact rewrite of
     zoo.label_prop_apply / reference model.py:538-567). The 8-channel
@@ -1170,7 +1192,8 @@ def build_packed_label_prop(model: Model, params: Params,
               ChainStage(w=packed["classifier.w"], b=packed["classifier.b"],
                          skip_idx=1, skip_w=packed["classifier.wtop"])]
         chains = {"down": down, "up": up, "interpret": pallas_interpret,
-                  "band": pallas_band, "fold_stem": pallas_fold_stem}
+                  "band": pallas_band, "fold_stem": pallas_fold_stem,
+                  "argmax_head": pallas_argmax_head}
         if pallas_mid:
             # dilated belly convs (reference model.py:556-558): plain f==1
             # conv_pool_simple blocks, conv -> BN -> ReLU order
@@ -1185,7 +1208,8 @@ def build_packed_pb_fcn(model: Model, params: Params,
                         pallas: bool = False,
                         pallas_interpret: bool = False,
                         pallas_band: Optional[int] = None,
-                        pallas_deep: bool = False
+                        pallas_deep: bool = False,
+                        pallas_argmax_head: bool = True
                         ) -> PackedPBFCNInfer:
     """Compile a trained PB_FCN (segment mode) for TPU inference — the
     tester.py deployment/latency net (reference tester.py:142-144)."""
@@ -1216,7 +1240,7 @@ def build_packed_pb_fcn(model: Model, params: Params,
               ChainStage(w=packed["segmenter.classifier.w"],
                          b=packed["segmenter.classifier.b"])]
         chains = {"down": down, "up": up, "interpret": pallas_interpret,
-                  "band": pallas_band}
+                  "band": pallas_band, "argmax_head": pallas_argmax_head}
         if pallas_deep:
             # absorb the dilated relu-only conv1 of the ConvPool after x2
             # into the down chain (its stride-2 pool conv + BN stay XLA) and

@@ -77,6 +77,13 @@ class ChainStage:
     # 3x3 tap dilation (torch padding == dil), e.g. the reference's dilated
     # f==1 belly convs (LabelProp conv1-3, PB_FCN FCN.conv4-8)
     dil: int = 1
+    # fused serving argmax (last stage only, the bias-only head): emit
+    # per-phase int32 labels instead of logits — argmax_c over each group
+    # of cout/groups adjacent lanes, computed with one tiny selection
+    # matmul per class + elementwise max/select (no minor-dim reshape, so
+    # Mosaic-safe). Removes the XLA argmax fusion AND shrinks the head's
+    # HBM write from (.., f^2*C) logits to (.., f^2) labels.
+    argmax_groups: int = 0
 
     @property
     def k(self) -> int:
@@ -98,7 +105,7 @@ def _halo_depths(stages: Sequence[ChainStage]) -> List[int]:
 
 def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                   n_skips: int, band: int, H: int, W: int, x_pad: int,
-                  skip_pad: int, skip_cpad: int):
+                  skip_pad: int, skip_cpad: int, chain_dtype):
     """One (batch, row-band) cell of the fused chain. refs order: x (or f
     row-phase buffers for a stem chain), skips..., per-stage params
     (w, b[, scale, shift]), emitted outputs..., per-stage scratch (all but
@@ -204,6 +211,34 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
         g = off - d + jax.lax.broadcasted_iota(jnp.int32, (strip, 1, 1), 0)
         y = jnp.where((g >= 0) & (g < H), y, 0.0)
 
+        if st.argmax_groups:
+            # fused serving head (last stage): per-phase argmax over each
+            # group of C = cout/groups adjacent lanes. val_c = y @ S_c with
+            # S_c[l, g] = [l == g*C + c] — one tiny MXU dot per class (the
+            # selection matrices build from iotas, no minor-dim reshape) —
+            # then first-max-wins select chains (jnp.argmax tie semantics).
+            # The accumulator is rounded to the chain dtype FIRST so
+            # infer() == argmax(logits()) bit-exactly (ties included) —
+            # the logits form emits at chain_dtype.
+            y = y.astype(chain_dtype).astype(jnp.float32)
+            G = st.argmax_groups
+            n_cls = cout // G
+            lane = jax.lax.broadcasted_iota(jnp.int32, (cout, G), 0)
+            grp = jax.lax.broadcasted_iota(jnp.int32, (cout, G), 1)
+            best = idx = None
+            for c in range(n_cls):
+                sel = (lane == grp * n_cls + c).astype(jnp.float32)
+                val = jax.lax.dot_general(
+                    y, sel, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if best is None:
+                    best, idx = val, jnp.zeros(val.shape, jnp.int32)
+                else:
+                    m = val > best
+                    best = jnp.where(m, val, best)
+                    idx = jnp.where(m, c, idx)
+            y = idx
+
         if st.emit:
             out_refs[out_i][0] = y[d:d + band].astype(out_refs[out_i].dtype)
             out_i += 1
@@ -233,6 +268,13 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
     stages = list(stages)
     if not stages[-1].emit:
         stages[-1] = dataclasses.replace(stages[-1], emit=True)
+    assert all(not st.argmax_groups for st in stages[:-1]), \
+        "argmax_groups is a final-stage (serving head) epilogue"
+    if stages[-1].argmax_groups:
+        st = stages[-1]
+        assert st.scale is None and not st.relu_only, \
+            "the argmax head is the bias-only classifier"
+        assert int(st.w.shape[3]) % st.argmax_groups == 0
     depths = _halo_depths(stages)
     stem_f = stages[0].stem_f
     n = x.shape[0]
@@ -294,8 +336,11 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
             operands.append(jnp.asarray(st.skip_w, dtype))
             in_specs.append(const(st.skip_w.shape))
 
-    out_shapes = [jax.ShapeDtypeStruct((n, H, W, int(st.w.shape[3])), dtype)
-                  for st in stages if st.emit]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, H, W, st.argmax_groups), jnp.int32)
+        if st.argmax_groups
+        else jax.ShapeDtypeStruct((n, H, W, int(st.w.shape[3])), dtype)
+        for st in stages if st.emit]
     out_specs = [pl.BlockSpec((1, band, W, s.shape[3]),
                               lambda b, i: (b, i, 0, 0)) for s in out_shapes]
 
@@ -308,7 +353,7 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
     kernel = functools.partial(
         _chain_kernel, stages=tuple(stages), depths=tuple(depths),
         n_skips=len(skips_p), band=band, H=H, W=W, x_pad=x_pad,
-        skip_pad=skip_pad, skip_cpad=skip_cpad)
+        skip_pad=skip_pad, skip_cpad=skip_cpad, chain_dtype=dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(n, H // band),
@@ -319,6 +364,17 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
         interpret=interpret,
     )(*operands)
     return list(outs) if isinstance(outs, (tuple, list)) else [outs]
+
+
+def with_argmax_head(stages: Sequence[ChainStage],
+                     groups: int) -> List[ChainStage]:
+    """The chain's serving form: the final (classifier) stage emits fused
+    per-phase int32 labels instead of logits (see ChainStage.argmax_groups).
+    """
+    stages = list(stages)
+    stages[-1] = dataclasses.replace(stages[-1], argmax_groups=groups,
+                                     emit=True)
+    return stages
 
 
 def pltpu_vmem(shape, dtype):

@@ -142,6 +142,60 @@ def test_pallas_chain_bf16_label_agreement_families(family):
     assert agree > 0.995, agree
 
 
+@pytest.mark.parametrize("family", ["flagship", "flagship_stem_deep",
+                                    "flagship_bf16", "v2",
+                                    "label_prop", "pb_fcn"])
+def test_pallas_fused_argmax_head(family):
+    """infer()/infer_u8_packed() on a chain graph fuse the serving argmax
+    into the head stage's kernel (ChainStage.argmax_groups): the emitted
+    labels must equal argmax over the SAME chain's logits exactly — the
+    kernel rounds its accumulator to the chain dtype first, so even tie
+    pixels must agree (first-max-wins matches jnp.argmax semantics)."""
+    rng = np.random.default_rng(61)
+    if family.startswith("flagship"):
+        model, params = _build(False, seed=62)
+        x = jnp.asarray(rng.standard_normal((2, 120, 160, 3)), jnp.float32)
+        kw = dict(pallas_fold_stem=True, pallas_deep=True) \
+            if family.endswith("deep") else {}
+        dt = jnp.bfloat16 if family.endswith("bf16") else jnp.float32
+        fused = packed.build_packed_infer(model, params, dtype=dt,
+                                          pallas=True, pallas_interpret=True,
+                                          **kw)
+    elif family == "v2":
+        model = zoo.make("robo_unet", v2=True, levels=1, belly_size=9,
+                         belly_planes=64, class_size=3)
+        params = _randomized_params(model, 63)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                          pallas=True, pallas_interpret=True)
+    elif family == "label_prop":
+        model = zoo.make("label_prop")
+        params = _randomized_params(model, 64)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 8)), jnp.float32)
+        fused = packed.build_packed_label_prop(
+            model, params, jnp.float32, pallas=True, pallas_interpret=True)
+    else:
+        model = zoo.make("pb_fcn")
+        params = _randomized_params(model, 65)
+        x = jnp.asarray(rng.standard_normal((1, 32, 64, 3)), jnp.float32)
+        fused = packed.build_packed_pb_fcn(
+            model, params, jnp.float32, pallas=True, pallas_interpret=True)
+
+    want = np.argmax(np.asarray(fused.logits(x)), axis=-1)
+    np.testing.assert_array_equal(np.asarray(fused.infer(x)), want)
+
+    device_fn, host_unpack = fused.infer_u8_packed()
+    got = host_unpack(device_fn(x))
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+    if family == "flagship":
+        # ablation/fallback knob: logits head + XLA argmax, same labels
+        noam = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                         pallas=True, pallas_interpret=True,
+                                         pallas_argmax_head=False)
+        np.testing.assert_array_equal(np.asarray(noam.infer(x)), want)
+
+
 def test_pallas_serving_data_parallel_shard_map():
     """Data-parallel pallas serving: shard_map partitions the batch across
     the 8-device mesh and each replica runs the fused chains on its local

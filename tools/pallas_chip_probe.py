@@ -135,6 +135,11 @@ def run(families, iters, trace=False):
             ("pallas_stem_deep", lambda: packed.build_packed_infer(
                 m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
                 pallas_deep=True)),
+            # fused-argmax-head ablation (and the fallback if the argmax
+            # epilogue trips real Mosaic): logits head + XLA argmax
+            ("pallas_stem_deep_noargmax", lambda: packed.build_packed_infer(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                pallas_deep=True, pallas_argmax_head=False)),
         ], x)
 
     if "bands" in families:
