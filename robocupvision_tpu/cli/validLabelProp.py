@@ -79,8 +79,10 @@ def main(argv=None) -> int:
         if opt.packed:
             from robocupvision_tpu.models import packed as packed_mod
 
-            # f32 keeps label maps byte-identical to the plain path; --pallas
-            # compiles real Mosaic kernels on TPU (interpret mode elsewhere)
+            # f32 keeps the XLA packed path's label maps byte-identical to
+            # the plain path; --pallas compiles real Mosaic kernels on TPU
+            # (interpret mode elsewhere) whose f32 tap accumulation order
+            # differs from XLA's convs — exact-tie labels can flip there
             pk = dict(pallas=True, pallas_fold_stem=True, pallas_mid=True,
                       pallas_interpret=jax.default_backend() != "tpu") \
                 if opt.pallas else {}

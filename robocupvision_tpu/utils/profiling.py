@@ -39,6 +39,27 @@ def time_fn(fn: Callable, *args, iters: int = 50, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def interval_union_length(spans: list) -> float:
+    """Total length covered by (start, end) intervals, overlaps counted
+    once. Device-trace events can nest (module spans enclose op spans)
+    and overlap across lanes — summing durations double-counts, and the
+    [first start, last end] wall span counts idle gaps (which, for sub-ms
+    graphs dispatched at the tunnel's ~0.5 ms/dispatch cadence, would
+    report dispatch cadence instead of device time)."""
+    if not spans:
+        return 0.0
+    spans = sorted(spans)
+    busy = 0.0
+    cur_a, cur_b = spans[0]
+    for a, b in spans[1:]:
+        if a > cur_b:
+            busy += cur_b - cur_a
+            cur_a, cur_b = a, b
+        else:
+            cur_b = max(cur_b, b)
+    return busy + (cur_b - cur_a)
+
+
 def device_busy_span_us(run: Callable[[], None],
                         min_events: int) -> Optional[float]:
     """Device-track busy span of ``run()`` in microseconds, or None.
@@ -48,8 +69,12 @@ def device_busy_span_us(run: Callable[[], None],
     device track is trustworthy). Executes ``run`` — which must itself
     end with a value fetch so the device work is complete — under
     jax.profiler.trace, then parses the trace for the device process's
-    [first event start, last event end] span. Returns None when tracing
-    or parsing fails, or fewer than ``min_events`` device events landed
+    busy time: the UNION length of its event intervals, not the
+    [first start, last end] wall span — a sub-ms graph dispatched at the
+    tunnel's ~0.5 ms/async-dispatch cadence leaves the device idle
+    between frames, and the wall span would report dispatch cadence
+    (~2x high) instead of device time. Returns None when tracing or
+    parsing fails, or fewer than ``min_events`` device events landed
     (callers fall back to their wall number).
     """
     import glob
@@ -81,9 +106,8 @@ def device_busy_span_us(run: Callable[[], None],
                  if e.get("ph") == "X" and e.get("pid") in dev_pids]
         if len(spans) < min_events:
             return None
-        t0 = min(a for a, _ in spans)
-        t1 = max(b for _, b in spans)
-        return (t1 - t0) if t1 > t0 else None
+        busy = interval_union_length(spans)
+        return busy if busy > 0 else None
     except Exception:
         return None
 

@@ -6,10 +6,16 @@ import subprocess
 import sys
 
 LOG = """\
-=== probe: flagship+qvga (trace) — 2026-08-18T10:00:00Z ===
-ROW:{"row": "flagship_vga_b1", "variant": "xla_packed", "fps": 1830.0, "iters": 700, "device_us_per_frame": 378.2}
-ROW:{"row": "flagship_vga_b1", "variant": "pallas_stem", "fps": 2400.0, "agree": 1.0, "iters": 700, "device_us_per_frame": 240.1}
+=== probe: flagship+qvga (trace) (attempt 1) — 2026-08-18T09:55:00Z ===
+ROW:{"row": "flagship_vga_b1", "variant": "xla_packed", "fps": 120.0, "iters": 700}
+ROW:{"row": "flagship_vga_b1", "variant": "pallas_stem", "error": "init stall"}
+rc=124 (attempt 1)
+=== probe: flagship+qvga (trace) (attempt 2) — 2026-08-18T10:00:00Z ===
+ROW:{"row": "flagship_vga_b1", "variant": "xla_packed", "fps": 1830.0, "iters": 700}
+ROW:{"row": "flagship_vga_b1", "variant": "pallas_stem", "fps": 2400.0, "agree": 1.0, "iters": 700}
 ROW:{"row": "flagship_vga_b1", "variant": "pallas_deep", "error": "Mosaic..."}
+ROW:{"row": "flagship_vga_b1", "variant": "xla_packed", "device_us_per_frame": 378.2}
+ROW:{"row": "flagship_vga_b1", "variant": "pallas_stem", "device_us_per_frame": 240.1}
 === bench run 1 (driver-style) — 2026-08-18T10:30:00Z ===
 {"metric": "robo_unet_vga_640x480_inference_fps_per_chip", "value": 1500.0, "unit": "frames/sec", "vs_baseline": 50.0}
 {"metric": "robo_unet_vga_640x480_inference_fps_per_chip", "value": 1836.0, "unit": "frames/sec", "vs_baseline": 61.2}
@@ -31,6 +37,14 @@ def test_collector_parses_probe_rows_and_final_bench_json(tmp_path):
     # probe table: both variants + the error row, one table per family row
     assert "## probe: flagship_vga_b1" in out
     assert "pallas_stem" in out and "2400.0" in out and "Mosaic" in out
+    # the retried attempt supersedes attempt 1's rows: one xla_packed row
+    # (the retry's fps), no stale attempt-1 numbers or errors
+    assert out.count("xla_packed") == 1
+    assert "120.0" not in out
+    assert "init stall" not in out
+    # the deferred device-trace rows merge into their timing rows
+    row = next(ln for ln in out.splitlines() if "pallas_stem" in ln)
+    assert "2400.0" in row and "240.1" in row and "1.0" in row
     # bench run 1: only the LAST cumulative JSON (the final artifact)
     assert '"value": 1836.0' in out
     assert '"value": 1500.0' not in out

@@ -94,29 +94,34 @@ def run(families, iters, trace=False):
     def emit(row):
         print("ROW:" + json.dumps(row), flush=True)
 
+    # Trace collection is a BULK device->host transfer; doing one before any
+    # later timed window is the PERF.md #6 contamination class (it can
+    # degrade every subsequent dispatch in this process to ~RTT, biasing
+    # whichever variants time after it). So every trace is DEFERRED until
+    # all families' timing windows in this process have run; the collector
+    # merges the supplemental device_us rows into the timing rows by
+    # (row, variant) key.
+    deferred_traces = []  # (row, variant, fn, x)
+
     def head_to_head(name, base, variants, x):
         bfn = jax.jit(base.infer)
         t, it = _time(bfn, x, iters)
-        row = {"row": name, "variant": "xla_packed", "fps": round(1 / t, 1),
-               "iters": it}
+        emit({"row": name, "variant": "xla_packed", "fps": round(1 / t, 1),
+              "iters": it})
         if trace:
-            us = _device_trace_us_per_call(bfn, x)
-            if us:
-                row["device_us_per_frame"] = round(us, 1)
-        emit(row)
+            deferred_traces.append((name, "xla_packed", bfn, x))
         for vname, builder in variants:
             try:
                 vi = builder()
                 vfn = jax.jit(vi.infer)
+                # agreement is an on-device scalar fetch (same barrier shape
+                # as the timing sync) — safe before later windows
                 agree = _agree(vfn, bfn, x)
                 t, it = _time(vfn, x, iters)
-                row = {"row": name, "variant": vname,
-                       "fps": round(1 / t, 1), "agree": agree, "iters": it}
+                emit({"row": name, "variant": vname,
+                      "fps": round(1 / t, 1), "agree": agree, "iters": it})
                 if trace:
-                    us = _device_trace_us_per_call(vfn, x)
-                    if us:
-                        row["device_us_per_frame"] = round(us, 1)
-                emit(row)
+                    deferred_traces.append((name, vname, vfn, x))
             except Exception as e:
                 emit({"row": name, "variant": vname,
                       "error": repr(e)[:300]})
@@ -212,6 +217,16 @@ def run(families, iters, trace=False):
                 m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
                 pallas_deep=True)),
         ], x)
+
+    # deferred device traces, strictly AFTER every timed window (see above)
+    for name, vname, fn, x in deferred_traces:
+        try:
+            us = _device_trace_us_per_call(fn, x)
+        except Exception:
+            us = None
+        if us:
+            emit({"row": name, "variant": vname,
+                  "device_us_per_frame": round(us, 1)})
 
 
 if __name__ == "__main__":
