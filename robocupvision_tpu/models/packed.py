@@ -503,9 +503,9 @@ class PackedInfer(_PackedBase):
         h = x.astype(self.dtype)
         feats = {}
         if ch["down"] is None:
-            # pool / deep-level plans: downs stay on the XLA packed path
-            # (maxpool is a lane op the chain kernel can't express); the
-            # fused up-region chain still covers the full-res half
+            # deep per-level strided plans: downs stay on the XLA packed
+            # path; the fused up-region chain still covers the full-res
+            # half (--UNet pool downs DO chain: _pool_chain_stage)
             for lvl in range(3):
                 for blk in plan.downs[lvl]:
                     h = self._blk(blk, h, mut)
@@ -1010,6 +1010,30 @@ def _packed_stage(packed: Params, prefix: str, **kw):
                       shift=packed[prefix + ".shift"], **kw)
 
 
+def _pool_chain_stage(f_in: int, c: int, dtype, **kw):
+    """In-chain packed 2x2/s2 max pool: :func:`packed_max_pool`'s lane op as
+    a ChainStage. Out lane (qy*fo+qx)*c + ch takes the max of the four input
+    lanes ((2qy+ry)*f_in + (2qx+rx))*c + ch — expressed as four exact 0/1
+    lane-selection matrices the kernel dots with and maxes over (the same
+    Mosaic-safe selection-matmul trick as the fused argmax head; no
+    minor-dim reshape). Bit-identical to packed_max_pool for any float
+    dtype: a 0/1 dot is a value-preserving gather."""
+    from robocupvision_tpu.ops.pallas_packed import ChainStage
+
+    fo = f_in // 2
+    cin, cout = f_in * f_in * c, fo * fo * c
+    sel = np.zeros((1, 4, cin, cout), np.float32)
+    eye = np.eye(c, dtype=np.float32)
+    for t, (ry, rx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        for qy in range(fo):
+            for qx in range(fo):
+                src = ((2 * qy + ry) * f_in + (2 * qx + rx)) * c
+                dst = (qy * fo + qx) * c
+                sel[0, t, src:src + c, dst:dst + c] = eye
+    return ChainStage(w=jnp.asarray(sel, dtype),
+                      b=np.zeros(cout, np.float32), pool=True, **kw)
+
+
 def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
                            np_params: Params, dtype,
                            interpret: bool, band,
@@ -1033,10 +1057,37 @@ def _build_flagship_chains(cfg: RoboUNetCfg, packed: Params,
         return _plain_stage(np_params, name, dtype, rbb=True, **kw)
 
     nI = cfg.levels  # convs per down level (Conv0 strided + nI-1 preserving)
-    if cfg.pool or cfg.levels not in (1, 2):
-        # maxpool downs (a lane op the chain kernel can't express) or deep
-        # per-level conv runs: the downs stay on the XLA packed path and
-        # only the up region (the full-res half of the graph) fuses
+    if cfg.pool:
+        # --UNet: maxpool downs are pure LANE ops on the packed grid
+        # (packed_max_pool), in-chain as 4 lane-selection dots + max
+        # (_pool_chain_stage) — every Level0-2 conv is grid-preserving, so
+        # the whole down region fuses at ANY cfg.levels (the hyper-table
+        # --UNet is levels=3: Level0 carries stem + Conv1, nI == levels-1)
+        n0 = max(cfg.levels - 1, 1)   # Level0 convs (incl. stem)
+        nP = max(cfg.levels - 1, 1)   # convs per Level i >= 1
+        # pool input widths come from the consuming Conv0's packed cin
+        c0 = int(np_params["downPart.Level1.layers.Conv0.conv.weight"].shape[2])
+        c1 = int(np_params["downPart.Level2.layers.Conv0.conv.weight"].shape[2])
+        down = [_pool_chain_stage(4, c0, dtype)]
+        down += [pk(f"downPart.Level1.layers.Conv{i}.conv", rbb=True)
+                 for i in range(nP)]
+        down[-1] = dataclasses.replace(down[-1], emit=True)   # feats[1]
+        down.append(_pool_chain_stage(2, c1, dtype))
+        # Level2 runs at f == 1: plain conv_blocks
+        down += [plain_block(f"downPart.Level2.layers.Conv{i}")
+                 for i in range(nP)]
+        down[-1] = dataclasses.replace(down[-1], emit=True)   # feats[2]
+        if fold_stem:
+            pre = [pk("downPart.Level0.layers.Conv0.conv", rbb=True,
+                      stem_f=4)]
+            pre += [pk(f"downPart.Level0.layers.Conv{i}.conv", rbb=True)
+                    for i in range(1, n0)]
+            pre[-1] = dataclasses.replace(pre[-1], emit=True)  # feats[0]
+            down = pre + down
+    elif cfg.levels not in (1, 2):
+        # deep per-level conv runs (strided, off-hyper-table): the downs
+        # stay on the XLA packed path and only the up region (the full-res
+        # half of the graph) fuses
         down = None
     else:
         down = [pk(f"downPart.Level1.layers.Conv{i}.conv", rbb=True)
@@ -1130,10 +1181,11 @@ def build_packed_infer(model: Model, params: Params,
     chains = None
     if pallas:
         assert cfg.class_size in (1, 3), "class head kernels are 1x1/3x3"
-        full_downs = not cfg.pool and cfg.levels in (1, 2)
+        full_downs = cfg.pool or cfg.levels in (1, 2)
         assert not (pallas_fold_stem and not full_downs), \
             "fold_stem needs the fully-chained down region"
-        assert not (pallas_deep and not (full_downs and cfg.belly_size > 0)),\
+        assert not (pallas_deep and (cfg.pool or not full_downs
+                                     or cfg.belly_size == 0)), \
             "the deep chain covers strided plans with a PB belly"
         assert not (pallas_fold_stem and stem_group not in (0, 4)), \
             "the folded stem uses the group == f kernel"

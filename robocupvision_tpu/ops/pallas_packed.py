@@ -84,6 +84,13 @@ class ChainStage:
     # Mosaic-safe). Removes the XLA argmax fusion AND shrinks the head's
     # HBM write from (.., f^2*C) logits to (.., f^2) labels.
     argmax_groups: int = 0
+    # packed 2x2/s2 max pool (--UNet downs): a pure LANE op on the packed
+    # grid (models/packed.packed_max_pool) expressed as 4 exact 0/1
+    # lane-selection dots + elementwise max — the same Mosaic-safe
+    # selection-matmul trick as the argmax head. ``w`` holds the
+    # (1, 4, cin, cout) selection stack (k == 1, reach == 0); bias and
+    # epilogue fields must stay at their defaults.
+    pool: bool = False
 
     @property
     def k(self) -> int:
@@ -139,72 +146,91 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
         K = st.k
         cout = int(w_ref.shape[3])
 
-        acc = None
-        if k == 0 and stem_f:
-            # stem: 3 group-column taps x (f+2) pixel-row taps; pixel row
-            # f*j + (dy-1) lives in phase buffer (dy-1) % f at block-row
-            # offset (dy-1) // f
-            for dy in range(stem_f + 2):
-                p = (dy - 1) % stem_f
-                bo = (dy - 1) // stem_f
-                for dx in range(3):
-                    xs = x_refs[p][0, pl.ds(off - d + bo + x_pad, strip),
-                                   pl.ds(dx, W), :]
-                    t = jax.lax.dot_general(
-                        xs, w_ref[dy, dx],
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    acc = t if acc is None else acc + t
-        else:
-            R = st.reach  # dil * (K // 2): tap offset and border width
-            for dy in range(K):
-                for dx in range(K):
-                    rel = st.dil * (dy - K // 2)
-                    if k == 0:
-                        # x buffer row = global row + x_pad; col = col + R
-                        xs = x_ref[0, pl.ds(off - d + rel + x_pad, strip),
-                                   pl.ds(st.dil * dx, W), :]
-                    else:
-                        # prev scratch stores its strip at row/col offset R
-                        # (the border width THIS stage's taps need)
-                        delta = prev_d - d
-                        xs = prev_scratch[pl.ds(delta + rel + R, strip),
-                                          pl.ds(st.dil * (dx - K // 2) + R,
-                                                W), :]
-                    t = jax.lax.dot_general(
-                        xs, w_ref[dy, dx],
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    acc = t if acc is None else acc + t
-        if st.skip_w is not None:
-            # conv'd skip: the second half of a SPLIT conv (v2 concat /
-            # LabelProp channel-slice) — accumulate BEFORE bias + epilogue
-            skr = skip_refs[st.skip_idx]
-            ks = int(st.skip_w.shape[0])
-            for dy in range(ks):
-                for dx in range(ks):
-                    sk = skr[0, pl.ds(off - d + dy - ks // 2 + skip_pad,
-                                      strip),
-                             pl.ds(dx + skip_cpad - ks // 2, W), :]
-                    acc = acc + jax.lax.dot_general(
-                        sk, prms[-1][dy, dx],
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-        y = acc + b_ref[0].astype(jnp.float32)
-        if st.scale is not None:
-            scale = prms[2][0].astype(jnp.float32)
-            shift = prms[3][0].astype(jnp.float32)
-            if st.rbb:
-                y = jnp.maximum(y, 0.0) * scale + shift
+        if st.pool:
+            # packed 2x2 max pool (--UNet downs): one center read (reach 0),
+            # then the max of 4 lane-selection dots — exact 0/1 gathers,
+            # value-preserving for any float dtype, so the max is
+            # bit-identical to packed_max_pool's lane op. No bias/epilogue.
+            if k == 0:
+                xs = x_ref[0, pl.ds(off - d + x_pad, strip), pl.ds(0, W), :]
             else:
-                y = jnp.maximum(y * scale + shift, 0.0)
-        elif st.relu_only:
-            y = jnp.maximum(y, 0.0)
-        if st.skip_idx >= 0 and st.skip_w is None:
-            # identity skip: the packed graph's residual add AFTER the block
-            sk = skip_refs[st.skip_idx][0, pl.ds(off - d + skip_pad, strip),
-                                        pl.ds(skip_cpad, W), :]
-            y = y + sk.astype(jnp.float32)
+                xs = prev_scratch[pl.ds(prev_d - d, strip), pl.ds(0, W), :]
+            y = None
+            for t in range(4):
+                v = jax.lax.dot_general(
+                    xs, w_ref[0, t],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y = v if y is None else jnp.maximum(y, v)
+        else:
+            acc = None
+            if k == 0 and stem_f:
+                # stem: 3 group-column taps x (f+2) pixel-row taps; pixel row
+                # f*j + (dy-1) lives in phase buffer (dy-1) % f at block-row
+                # offset (dy-1) // f
+                for dy in range(stem_f + 2):
+                    p = (dy - 1) % stem_f
+                    bo = (dy - 1) // stem_f
+                    for dx in range(3):
+                        xs = x_refs[p][0, pl.ds(off - d + bo + x_pad, strip),
+                                       pl.ds(dx, W), :]
+                        t = jax.lax.dot_general(
+                            xs, w_ref[dy, dx],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc = t if acc is None else acc + t
+            else:
+                R = st.reach  # dil * (K // 2): tap offset and border width
+                for dy in range(K):
+                    for dx in range(K):
+                        rel = st.dil * (dy - K // 2)
+                        if k == 0:
+                            # x buffer row = global row + x_pad; col = col+R
+                            xs = x_ref[0,
+                                       pl.ds(off - d + rel + x_pad, strip),
+                                       pl.ds(st.dil * dx, W), :]
+                        else:
+                            # prev scratch stores its strip at row/col offset
+                            # R (the border width THIS stage's taps need)
+                            delta = prev_d - d
+                            xs = prev_scratch[
+                                pl.ds(delta + rel + R, strip),
+                                pl.ds(st.dil * (dx - K // 2) + R, W), :]
+                        t = jax.lax.dot_general(
+                            xs, w_ref[dy, dx],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc = t if acc is None else acc + t
+            if st.skip_w is not None:
+                # conv'd skip: the second half of a SPLIT conv (v2 concat /
+                # LabelProp channel-slice) — accumulate BEFORE bias+epilogue
+                skr = skip_refs[st.skip_idx]
+                ks = int(st.skip_w.shape[0])
+                for dy in range(ks):
+                    for dx in range(ks):
+                        sk = skr[0, pl.ds(off - d + dy - ks // 2 + skip_pad,
+                                          strip),
+                                 pl.ds(dx + skip_cpad - ks // 2, W), :]
+                        acc = acc + jax.lax.dot_general(
+                            sk, prms[-1][dy, dx],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+            y = acc + b_ref[0].astype(jnp.float32)
+            if st.scale is not None:
+                scale = prms[2][0].astype(jnp.float32)
+                shift = prms[3][0].astype(jnp.float32)
+                if st.rbb:
+                    y = jnp.maximum(y, 0.0) * scale + shift
+                else:
+                    y = jnp.maximum(y * scale + shift, 0.0)
+            elif st.relu_only:
+                y = jnp.maximum(y, 0.0)
+            if st.skip_idx >= 0 and st.skip_w is None:
+                # identity skip: the packed graph's residual add AFTER block
+                sk = skip_refs[st.skip_idx][0,
+                                            pl.ds(off - d + skip_pad, strip),
+                                            pl.ds(skip_cpad, W), :]
+                y = y + sk.astype(jnp.float32)
 
         # rows outside the image must be ZERO (they are conv padding for the
         # next stage), not the garbage the halo recompute produced there
@@ -270,6 +296,12 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
         stages[-1] = dataclasses.replace(stages[-1], emit=True)
     assert all(not st.argmax_groups for st in stages[:-1]), \
         "argmax_groups is a final-stage (serving head) epilogue"
+    for st in stages:
+        if st.pool:  # pool stages carry ONLY the selection stack
+            assert (st.w.ndim == 4 and st.w.shape[:2] == (1, 4)
+                    and st.scale is None and not st.relu_only
+                    and st.skip_idx < 0 and st.skip_w is None
+                    and not st.stem_f and not st.argmax_groups), st
     if stages[-1].argmax_groups:
         st = stages[-1]
         assert st.scale is None and not st.relu_only, \

@@ -107,7 +107,7 @@ def test_pallas_chain_pb_fcn_2_matches_xla_packed():
     _assert_labels_match(fused, base, x)
 
 
-@pytest.mark.parametrize("family", ["v2", "label_prop", "pb_fcn"])
+@pytest.mark.parametrize("family", ["v2", "label_prop", "pb_fcn", "unet"])
 def test_pallas_chain_bf16_label_agreement_families(family):
     """bf16 (the serving dtype) agreement for the non-flagship families:
     the chain rounds inter-stage activations to bf16 in VMEM scratch just
@@ -122,6 +122,14 @@ def test_pallas_chain_bf16_label_agreement_families(family):
         fused = packed.build_packed_infer(
             model, params, dtype=jnp.bfloat16, pallas=True,
             pallas_interpret=True, pallas_fold_stem=True, pallas_deep=True)
+    elif family == "unet":
+        model = zoo.make("robo_unet", pool=True, levels=3, belly_size=0)
+        params = _randomized_params(model, 55)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        base = packed.build_packed_infer(model, params, dtype=jnp.bfloat16)
+        fused = packed.build_packed_infer(
+            model, params, dtype=jnp.bfloat16, pallas=True,
+            pallas_interpret=True, pallas_fold_stem=True)
     elif family == "label_prop":
         model = zoo.make("label_prop")
         params = _randomized_params(model, 53)
@@ -139,12 +147,16 @@ def test_pallas_chain_bf16_label_agreement_families(family):
             model, params, jnp.bfloat16, pallas=True, pallas_interpret=True,
             pallas_deep=True)
     agree = np.mean(np.asarray(fused.infer(x)) == np.asarray(base.infer(x)))
-    assert agree > 0.995, agree
+    # unet: the 2x2 maxpool's SELECTION flips on sub-ulp pre-pool ties
+    # (checked: every disagreeing pixel's top-2 logit gap is below one bf16
+    # ulp), so random-weight label agreement runs ~0.992 where the pure-conv
+    # families hold ~0.999 — both are reassociation noise, not error
+    assert agree > (0.99 if family == "unet" else 0.995), agree
 
 
 @pytest.mark.parametrize("family", ["flagship", "flagship_stem_deep",
                                     "flagship_bf16", "v2",
-                                    "label_prop", "pb_fcn"])
+                                    "label_prop", "pb_fcn", "unet"])
 def test_pallas_fused_argmax_head(family):
     """infer()/infer_u8_packed() on a chain graph fuse the serving argmax
     into the head stage's kernel (ChainStage.argmax_groups): the emitted
@@ -168,6 +180,13 @@ def test_pallas_fused_argmax_head(family):
         x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
         fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
                                           pallas=True, pallas_interpret=True)
+    elif family == "unet":
+        model = zoo.make("robo_unet", pool=True, levels=3, belly_size=0)
+        params = _randomized_params(model, 66)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                          pallas=True, pallas_interpret=True,
+                                          pallas_fold_stem=True)
     elif family == "label_prop":
         model = zoo.make("label_prop")
         params = _randomized_params(model, 64)
@@ -225,10 +244,13 @@ def test_pallas_serving_data_parallel_shard_map():
 
 
 def test_pallas_gate_rejects_unsupported_combos():
-    # fold_stem/deep need the fully-chained down region (strided, levels<=2,
-    # deep additionally a PB belly); pool/deep-level plans fall back to XLA
-    # downs with the up-region chain only
+    # fold_stem needs the fully-chained down region (pool, or strided with
+    # levels<=2); deep needs a strided plan with a PB belly
     model, params = _build(False, pool=True, levels=3, belly_size=0)
+    with pytest.raises(AssertionError):
+        packed.build_packed_infer(model, params, pallas=True,
+                                  pallas_deep=True)   # pool has no belly run
+    model, params = _build(False, levels=3, belly_size=0)
     with pytest.raises(AssertionError):
         packed.build_packed_infer(model, params, pallas=True,
                                   pallas_fold_stem=True)
@@ -237,13 +259,36 @@ def test_pallas_gate_rejects_unsupported_combos():
                                   pallas_deep=True)
 
 
+@pytest.mark.parametrize("fold_stem,hw", [
+    (False, (120, 160)),   # QVGA: packed grid 30x40, single band
+    (True, (120, 160)),
+    (True, (480, 640)),    # VGA: banded grid — pool stages cross halo bands
+])
+def test_pallas_chain_pool_matches_xla_packed_f32(fold_stem, hw):
+    """--UNet (hyper-table: pool=True, levels=3, belly_size=0): the maxpool
+    downs are pure lane ops on the packed grid, in-chain as 4 lane-selection
+    dots + elementwise max (_pool_chain_stage) — the full down region fuses,
+    including Level0's extra conv (levels=3 puts stem + Conv1 in Level0)."""
+    model, params = _build(hw == (480, 640), seed=21, pool=True, levels=3,
+                           belly_size=0)
+    x = jax.random.normal(jax.random.PRNGKey(22), (1, *hw, 3),
+                          jnp.float32)
+    base = packed.build_packed_infer(model, params, dtype=jnp.float32)
+    fused = packed.build_packed_infer(model, params, dtype=jnp.float32,
+                                      pallas=True, pallas_interpret=True,
+                                      pallas_fold_stem=fold_stem)
+    np.testing.assert_allclose(np.asarray(fused.logits(x)),
+                               np.asarray(base.logits(x)),
+                               rtol=2e-4, atol=2e-4)
+    _assert_labels_match(fused, base, x)
+
+
 @pytest.mark.parametrize("kw", [
-    dict(pool=True, levels=3, belly_size=0),    # --UNet hyper-table config
     dict(levels=3, belly_size=0),               # off-table corner
 ])
 def test_pallas_up_chain_only_matches_xla_packed(kw):
-    """Plans whose downs the chain kernel can't express (maxpool / deep
-    per-level runs) still fuse the up region + head."""
+    """Plans whose downs the chain kernel doesn't cover (deep per-level
+    strided runs) still fuse the up region + head."""
     model, params = _build(False, seed=17, **kw)
     x = jax.random.normal(jax.random.PRNGKey(18), (1, 120, 160, 3),
                           jnp.float32)

@@ -205,6 +205,20 @@ def run(families, iters, trace=False):
                 m, p, jnp.bfloat16, pallas=True, pallas_deep=True)),
         ], x)
 
+    if "unet" in families:
+        # --UNet hyper-table config: maxpool downs chain as lane-selection
+        # max stages (models/packed._pool_chain_stage)
+        m = zoo.make("robo_unet", no_scale=True, pool=True, levels=3,
+                     belly_size=0)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 480, 640, 3),
+                              jnp.float32)
+        bb = packed.build_packed_infer(m, p, jnp.bfloat16)
+        head_to_head("unet_vga_b1", bb, [
+            ("pallas_stem", lambda: packed.build_packed_infer(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True)),
+        ], x)
+
     if "v2" in families:
         m = zoo.make("robo_unet", no_scale=True, v2=True, levels=1,
                      belly_size=9, belly_planes=64, class_size=3)
@@ -232,8 +246,9 @@ def run(families, iters, trace=False):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--families",
-                    default="flagship,qvga,lp,pbfcn,v2",
-                    help="comma list from: flagship,bands,qvga,lp,pbfcn,v2")
+                    default="flagship,qvga,lp,pbfcn,v2,unet",
+                    help="comma list from: "
+                         "flagship,bands,qvga,lp,pbfcn,v2,unet")
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--trace", action="store_true", default=False,
                     help="also report device-trace us/frame per variant")

@@ -31,8 +31,8 @@ try2() {  # try2 <cap_secs> <label> <cmd...>: one retry on non-zero rc
 
 try2 1500 "probe: flagship+qvga (trace)" \
     python tools/pallas_chip_probe.py --families flagship,qvga --trace
-try2 1500 "probe: lp,pbfcn,v2 (trace)" \
-    python tools/pallas_chip_probe.py --families lp,pbfcn,v2 --trace
+try2 1500 "probe: lp,pbfcn,v2,unet (trace)" \
+    python tools/pallas_chip_probe.py --families lp,pbfcn,v2,unet --trace
 try2 900 "probe: band sweep" \
     python tools/pallas_chip_probe.py --families bands
 
