@@ -844,8 +844,14 @@ def _store_last_good(payload: dict) -> None:
         "value": payload["value"],
         "unit": payload["unit"],
         "vs_baseline": payload["vs_baseline"],
+        # drop the run's TRANSIENT markers (stage failures, init-stall /
+        # outage bookkeeping, error strings): this record is replayed as
+        # clean-run evidence by every later outage run, and a recovered
+        # stall or a failed opt-in variant is not part of that evidence
         "extra": {k: v for k, v in payload["extra"].items()
-                  if k != "failed_stages"},
+                  if k != "failed_stages" and "outage" not in k
+                  and not k.startswith("infra_")
+                  and not k.endswith("_error")},
     }
     try:
         with open(_LAST_GOOD, "w") as f:
@@ -966,22 +972,43 @@ def main():
         extra["infra_init_stall_kills"] = 1
         extra["outage_probe_failures"] = 1
         emit()
-        recovered = False
-        while _left() > 180:
-            time.sleep(min(45.0, max(_left() - 150.0, 1.0)))
-            status, detail = _outage_probe(min(90.0, _left() - 90.0))
+        # Routine (non-outage) init stalls hit roughly every other PROCESS
+        # (CLAUDE.md), so one stalled probe is weak evidence: re-roll
+        # immediately in a fresh child before concluding "outage phase" —
+        # otherwise an unlucky single roll on a healthy tunnel would sleep
+        # away the budget (or, under a small BENCH_DEADLINE_SECS, skip
+        # every TPU stage outright). Two consecutive independent stalls is
+        # what an outage actually looks like.
+        recovered = turned_broken = False
+        status, detail = _outage_probe(min(60.0, max(_left() - 90.0, 20.0)))
+        if status == "ok":
+            recovered = True
+        elif status == "broken":
+            extra["outage_probe_error"] = detail
+            turned_broken = True
+        else:
+            extra["outage_probe_failures"] += 1
+            extra["infra_init_stall_kills"] += 1
+        while not (recovered or turned_broken) and _left() > 120:
+            time.sleep(min(45.0, max(_left() - 120.0, 1.0)))
+            status, detail = _outage_probe(min(90.0, _left() - 60.0))
             if status == "ok":
                 recovered = True
                 break
             if status == "broken":  # turned deterministic: stop sleeping
                 extra["outage_probe_error"] = detail
-                recovered = True
+                turned_broken = True
                 break
             extra["outage_probe_failures"] += 1
             extra["infra_init_stall_kills"] += 1
             emit()
         if recovered:
             extra["outage_wait_secs"] = round(time.monotonic() - _T0, 1)
+        elif turned_broken:
+            # deterministic child failure mid-run: NOT a recovery and NOT
+            # an outage — fall through to the stages, whose own stderr is
+            # the debuggable evidence (outage_probe_error already recorded)
+            pass
         else:
             # hard-down for the whole budget: mark the TPU stages as
             # outage-skipped, still run the CPU-only torch baseline, and

@@ -66,11 +66,19 @@ def test_assemble_always_carries_last_good(bench):
 
 
 def test_store_last_good_roundtrip(bench, tmp_path, monkeypatch):
+    """Transient run markers (stage failures, recovered-stall/outage
+    bookkeeping, error strings) must NOT survive into the committed
+    clean-run record — it is replayed as evidence by every later outage
+    run (r4 review finding)."""
     monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "lg.json"))
     payload = {"metric": "m", "value": 1234.5, "unit": "frames/sec",
                "vs_baseline": 41.2,
                "extra": {"fps_packed_bf16_b1": 1234.5,
-                         "failed_stages": ["train"]}}
+                         "failed_stages": ["train"],
+                         "infra_init_stall_kills": 2,
+                         "outage_probe_failures": 2,
+                         "outage_wait_secs": 310.5,
+                         "pallas_fused_error": "Mosaic..."}}
     bench._store_last_good(payload)
     lg = bench._load_last_good()
     assert lg["value"] == 1234.5
