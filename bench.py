@@ -188,6 +188,26 @@ def bench_vga_inference():
         except Exception as e:
             out["pallas_fused_deep_error"] = repr(e)[:200]
         _emit(out)
+    if _left() > 60 and on_tpu:
+        try:  # static int8 PTQ on the full chain graph (2x MXU peak);
+            # agreement vs the float chains is computed ON DEVICE (one
+            # scalar fetch — PERF.md #6: no bulk fetches before timing)
+            piq = packed.quantize_int8(
+                packed.build_packed_infer(model, params, dtype=jnp.bfloat16,
+                                          pallas=True, pallas_fold_stem=True,
+                                          pallas_deep=True), x1)
+            out["fps_packed_bf16_b1_pallas_int8"] = \
+                1.0 / _time(jax.jit(piq.infer), x1, iters=600)
+            pid = packed.build_packed_infer(model, params,
+                                            dtype=jnp.bfloat16, pallas=True,
+                                            pallas_fold_stem=True,
+                                            pallas_deep=True)
+            out["pallas_int8_label_agreement"] = float(jax.jit(
+                lambda v: jnp.mean((piq.infer(v) == pid.infer(v))
+                                   .astype(jnp.float32)))(x1))
+        except Exception as e:
+            out["pallas_int8_error"] = repr(e)[:200]
+        _emit(out)
 
     # QVGA flagship (tester.py's DEFAULT working resolution, scale=4)
     if _left() > 60:

@@ -37,7 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                      "(exact rewrite; framework extension)"),
                     ("--pallas", "with --packed: run the packed conv regions "
                      "as fused Pallas chain kernels (exact rewrite; "
-                     "framework extension, ops/pallas_packed.py)")]:
+                     "framework extension, ops/pallas_packed.py)"),
+                    ("--int8", "with --packed --pallas: static int8 PTQ "
+                     "serving — calibrates per-stage activation scales on "
+                     "the first val frame (approximate; framework "
+                     "extension, models/packed.quantize_int8)")]:
         p.add_argument(flag, help=h, action="store_true", default=False)
     p.add_argument("--root", type=str, default=os.environ.get("ROBOCUP_DATA", "./data"))
     p.add_argument("--pipeline", type=int, default=1, metavar="DEPTH",
@@ -67,6 +71,9 @@ def main(argv=None) -> int:
                          bottom_cam=opt.bottomCam)
     if flags.num_classes <= 1:
         print("You need to have at least one non-background class!")
+        return -1
+    if opt.int8 and not (opt.packed and opt.pallas):
+        print("--int8 requires --packed --pallas")
         return -1
 
     prune_str = "Pruned" if opt.pruned else ("Pruned2" if opt.pruned2 else "")
@@ -142,6 +149,8 @@ def main(argv=None) -> int:
               if opt.v2 else
               packed_mod.build_packed_pb_fcn(model, params_np, jnp.float32,
                                              **pk))
+        if opt.int8:
+            pi = packed_mod.quantize_int8(pi, jnp.asarray(ds[0][0][None]))
         packed_infer = jax.jit(pi.infer)
 
         def infer(params, x):

@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", default=False,
                    help="with --packed: fused Pallas chain kernels "
                    "(exact rewrite; framework extension)")
+    p.add_argument("--int8", action="store_true", default=False,
+                   help="with --packed --pallas: static int8 PTQ serving — "
+                   "calibrates per-stage activation scales on the first "
+                   "val pair (approximate; framework extension, "
+                   "models/packed.quantize_int8)")
     p.add_argument("--root", type=str,
                    default=os.environ.get("ROBOCUP_DATA", "./data"))
     return p
@@ -52,6 +57,9 @@ def main(argv=None) -> int:
     from robocupvision_tpu.train import checkpoint
 
     num_classes = 5
+    if opt.int8 and not (opt.packed and opt.pallas):
+        print("--int8 requires --packed --pallas")
+        return -1
     fine_str = "Finetuned" if opt.finetuned else ""
     prune_str = "Pruned" if opt.pruned else ""
     out_dir = os.path.join("output", "LabelProp",
@@ -88,6 +96,11 @@ def main(argv=None) -> int:
                 if opt.pallas else {}
             pi = packed_mod.build_packed_label_prop(model, params_np,
                                                     dtype=jnp.float32, **pk)
+            if opt.int8:
+                imgs0, labs0, _ = ds[0]
+                calib, _ = build_lp_pairs(imgs0[None], labs0[None],
+                                          num_classes)
+                pi = packed_mod.quantize_int8(pi, jnp.asarray(calib))
             packed_infer = jax.jit(pi.infer)
 
             def infer(params, x):

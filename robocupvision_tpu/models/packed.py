@@ -378,6 +378,22 @@ class _PackedBase:
 
         return device_fn, host_unpack
 
+    def _chain(self, tag: str, x, stages, skips=(), band=None):
+        """One fused-region call: the Pallas kernel normally; the plain-XLA
+        mirror when the chains dict carries a ``collect`` map (int8
+        calibration — chain_reference appends each stage's max|input| to
+        collect[tag]; :func:`quantize_int8` turns those into the static
+        scales of an int8 serving graph)."""
+        from robocupvision_tpu.ops import pallas_packed as ppk
+
+        ch = self.chains
+        col = ch.get("collect")
+        if col is not None:
+            return ppk.chain_reference(x, stages, skips=skips,
+                                       collect=col.setdefault(tag, []))
+        return ppk.fused_conv_chain(x, stages, skips=skips, band=band,
+                                    interpret=ch["interpret"])
+
     # -- block interpreter --------------------------------------------------
 
     def _affine(self, key: str, y: jax.Array, rbb: bool) -> jax.Array:
@@ -513,14 +529,14 @@ class PackedInfer(_PackedBase):
         elif ch["fold_stem"]:
             # the chain consumes the RAW image; stage 0 is the grouped
             # space-to-depth stem kernel and emits feats0 itself
-            feats[0], feats[1], feats[2] = ppk.fused_conv_chain(
-                h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+            feats[0], feats[1], feats[2] = self._chain(
+                "down", h, ch["down"], band=ch["band"])
         else:
             for blk in plan.downs[0]:
                 h = self._blk(blk, h, mut)     # stem (XLA conv)
             feats[0] = h
-            feats[1], feats[2] = ppk.fused_conv_chain(
-                h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+            feats[1], feats[2] = self._chain(
+                "down", h, ch["down"], band=ch["band"])
         h = feats[2]
         D = len(plan.downs)
         deep = ch.get("deep")
@@ -532,8 +548,7 @@ class PackedInfer(_PackedBase):
                 h = self._blk(blks[0], h, mut)
                 # band=None: the deepest grid is <= 32 rows at any deployed
                 # resolution — one whole-image band, halo-free
-                h = ppk.fused_conv_chain(h, deep,
-                                         interpret=ch["interpret"])[-1]
+                h = self._chain("deep", h, deep)[-1]
                 break
             for blk in blks:
                 h = self._blk(blk, h, mut)
@@ -550,8 +565,8 @@ class PackedInfer(_PackedBase):
             # the chain's split2 stages consume the f>1 ones unmaterialized
             up = jnp.concatenate([y, skip], axis=-1) if plan.v2 else y + skip
         up_ch = ppk.with_argmax_head(ch["up"], 16) if argmax else ch["up"]
-        out = ppk.fused_conv_chain(up, up_ch, skips=[feats[1], feats[0]],
-                                   interpret=ch["interpret"], band=ch["band"])
+        out = self._chain("up", up, up_ch, skips=[feats[1], feats[0]],
+                          band=ch["band"])
         return out[-1]
 
 
@@ -582,19 +597,14 @@ class PackedLabelPropInfer(_PackedBase):
                                       dilation, False)
 
         if ch is not None and ch["fold_stem"]:
-            from robocupvision_tpu.ops import pallas_packed as ppk
-
-            top, middle, bottom = ppk.fused_conv_chain(
-                h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+            top, middle, bottom = self._chain("down", h, ch["down"],
+                                              band=ch["band"])
         else:
             top = self._blk(_Blk("stem", "pre", 4, 4, rbb=False,
                                  group=self.stem_group), h, mut)
             if ch is not None:
-                from robocupvision_tpu.ops import pallas_packed as ppk
-
-                middle, bottom = ppk.fused_conv_chain(
-                    top, ch["down"], interpret=ch["interpret"],
-                    band=ch["band"])
+                middle, bottom = self._chain("down", top, ch["down"],
+                                             band=ch["band"])
             else:
                 middle = self._blk(_Blk("pconv", "down1", 4, 2, stride=2,
                                         rbb=False), top, mut)
@@ -602,12 +612,9 @@ class PackedLabelPropInfer(_PackedBase):
                                         rbb=False), middle, mut)
         h = cps("down3", bottom, 2, 1, 1)
         if ch is not None and ch.get("mid") is not None:
-            from robocupvision_tpu.ops import pallas_packed as ppk
-
             # the dilated belly [conv1, conv2, conv3] as one chain on the
             # H/8 grid (fed by the XLA strided down3)
-            h = ppk.fused_conv_chain(h, ch["mid"],
-                                     interpret=ch["interpret"])[-1]
+            h = self._chain("mid", h, ch["mid"])[-1]
         else:
             h = cps("conv3", cps("conv2", cps("conv1", h, 1, 2, 2), 1, 2, 2),
                     1, 2, 2)
@@ -617,9 +624,8 @@ class PackedLabelPropInfer(_PackedBase):
 
             up_ch = ppk.with_argmax_head(ch["up"], 16) if argmax \
                 else ch["up"]
-            return ppk.fused_conv_chain(h, up_ch, skips=[middle, top],
-                                        interpret=ch["interpret"],
-                                        band=ch["band"])[-1]
+            return self._chain("up", h, up_ch, skips=[middle, top],
+                               band=ch["band"])[-1]
         h = middle + self._blk(_Blk("ptconv", "upConv2", 1, 2, rbb=False),
                                h, mut)
         h = self._blk(_Blk("ptconv", "upConv3", 2, 4, rbb=False), h, mut)
@@ -686,10 +692,7 @@ class PackedPBFCNInfer(_PackedBase):
             return nn.relu(L.bn(p, mut, name + ".bn", y, False))
 
         if ch is not None:
-            from robocupvision_tpu.ops import pallas_packed as ppk
-
-            outs = ppk.fused_conv_chain(
-                h, ch["down"], interpret=ch["interpret"], band=ch["band"])
+            outs = self._chain("down", h, ch["down"], band=ch["band"])
             x0, x1, x2 = outs[:3]
         else:
             x0 = self._blk(blks["pconv:FCN.conv0"], h, mut)
@@ -711,7 +714,7 @@ class PackedPBFCNInfer(_PackedBase):
                 y = L.conv_pool(p, mut, "FCN.conv3", x3, False)
             else:
                 y = pool_tail("FCN.conv3", outs[3])
-            y = ppk.fused_conv_chain(y, dc, interpret=ch["interpret"])[-1]
+            y = self._chain("deep", y, dc)[-1]
             feats = [x0, x1, x2, x3, y] if cfg.no_scale else [x0, x1, x2, y]
         elif cfg.no_scale:
             x3 = L.conv_pool(p, mut, "FCN.conv_ext", x2, False)
@@ -729,13 +732,48 @@ class PackedPBFCNInfer(_PackedBase):
                     + feats[n_up - 1 - j]
             up_ch = ppk.with_argmax_head(ch["up"], 16) if argmax \
                 else ch["up"]
-            return ppk.fused_conv_chain(up, up_ch, skips=[x1, x0],
-                                        interpret=ch["interpret"],
-                                        band=ch["band"])[-1]
+            return self._chain("up", up, up_ch, skips=[x1, x0],
+                               band=ch["band"])[-1]
         for j in range(n_up):
             blk = blks[f"ptconv:up{j + 1}"]
             up = self._blk(blk, up, mut) + feats[n_up - 1 - j]
         return self._blk(blks["head:segmenter.classifier"], up, mut)
+
+
+def quantize_int8(infer, calib_x: jax.Array):
+    """Static int8 post-training quantization of a Pallas chain graph
+    (serving-only; beyond-reference capability — the v5e int8 MXU peak is
+    2x bf16 and int8 scratch halves inter-stage VMEM bytes).
+
+    Runs ONE calibration pass of the plain-XLA chain mirror on ``calib_x``
+    (representative inputs) to collect each chain stage's max|activation|,
+    then rebuilds every chain with static per-stage input scales and
+    symmetric per-out-channel int8 weights
+    (ops/pallas_packed.quantize_chain_stages). The taps then accumulate
+    s8 x s8 -> s32 on the MXU; bias/epilogue/skips stay f32. Approximate
+    (unlike every other packed mode): exactness of the KERNEL vs the quant
+    mirror is pinned per-pixel, label agreement vs the float graph is
+    measured (tests + the on-chip probe's 'pallas_int8' rows).
+
+    Accepts any Packed*Infer built with ``pallas=True``; returns a new
+    instance (the input object is unchanged).
+    """
+    from robocupvision_tpu.ops import pallas_packed as ppk
+
+    ch = infer.chains
+    assert ch is not None, "quantize_int8 needs a pallas chain graph"
+    for tag in ("down", "mid", "deep", "up"):
+        st = (ch.get(tag) or [None])[0]
+        assert st is None or not st.x_scale, "already quantized"
+    collect: dict = {}
+    probe = dataclasses.replace(infer, chains={**ch, "collect": collect})
+    probe._logits_packed(calib_x)   # plain-XLA mirror pass (see _chain)
+    q = dict(ch)
+    for tag in ("down", "mid", "deep", "up"):
+        if q.get(tag):
+            assert tag in collect, (tag, sorted(collect))
+            q[tag] = ppk.quantize_chain_stages(q[tag], collect[tag])
+    return dataclasses.replace(infer, chains=q)
 
 
 # ---- packed TRAINING graph --------------------------------------------------

@@ -91,6 +91,20 @@ class ChainStage:
     # (1, 4, cin, cout) selection stack (k == 1, reach == 0); bias and
     # epilogue fields must stay at their defaults.
     pool: bool = False
+    # int8 serving mode (static post-training quantization — a capability
+    # the reference has none of; v5e int8 MXU peak is 2x bf16 and int8
+    # scratch halves inter-stage VMEM bytes). x_scale > 0 marks the stage
+    # quantized: its input is int8 at scale x_scale (set from a calibration
+    # run's per-stage max|activation| / 127 — quantize_chain_stages), its
+    # ``w`` is symmetric per-out-channel int8 with dequant row ``w_scale``
+    # (pool stages keep their exact 0/1 selections, w_scale None), taps
+    # accumulate in s32 on the MXU, and bias/epilogue/skips run in f32
+    # after dequant. Inter-stage scratch is int8 (requantized with the
+    # NEXT stage's x_scale); emitted outputs stay the chain dtype.
+    # All stages of a chain are quantized together (fused_conv_chain
+    # asserts homogeneity); skips and skip_w stay float.
+    x_scale: float = 0.0
+    w_scale: Any = None
 
     @property
     def k(self) -> int:
@@ -129,7 +143,8 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
     stage_params = []
     for st in stages:
         n_p = (4 if st.scale is not None else 2) \
-            + (1 if st.skip_w is not None else 0)
+            + (1 if st.skip_w is not None else 0) \
+            + (1 if st.w_scale is not None else 0)
         stage_params.append(refs[pos:pos + n_p])
         pos += n_p
     out_refs = refs[pos:pos + sum(1 for s in stages if s.emit)]
@@ -145,6 +160,9 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
         strip = band + 2 * d
         K = st.k
         cout = int(w_ref.shape[3])
+        # int8 stage: taps run s8 x s8 -> s32 on the MXU; everything after
+        # the dequant (bias, epilogue, skips, masks) is f32 as usual
+        acc_t = jnp.int32 if st.x_scale else jnp.float32
 
         if st.pool:
             # packed 2x2 max pool (--UNet downs): one center read (reach 0),
@@ -160,8 +178,10 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                 v = jax.lax.dot_general(
                     xs, w_ref[0, t],
                     dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=acc_t)
                 y = v if y is None else jnp.maximum(y, v)
+            if st.x_scale:  # dequant the int8 passthrough (0/1 selections)
+                y = y.astype(jnp.float32) * st.x_scale
         else:
             acc = None
             if k == 0 and stem_f:
@@ -177,7 +197,7 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                         t = jax.lax.dot_general(
                             xs, w_ref[dy, dx],
                             dimension_numbers=(((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=acc_t)
                         acc = t if acc is None else acc + t
             else:
                 R = st.reach  # dil * (K // 2): tap offset and border width
@@ -199,11 +219,20 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                         t = jax.lax.dot_general(
                             xs, w_ref[dy, dx],
                             dimension_numbers=(((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=acc_t)
                         acc = t if acc is None else acc + t
+            if st.x_scale:
+                # int8 dequant: s32 accumulator x (per-out-channel weight
+                # scale row, appended LAST in the stage params) x the static
+                # input scale — everything downstream is f32 as usual
+                y = acc.astype(jnp.float32) * (prms[-1][0] * st.x_scale)
+            else:
+                y = acc
             if st.skip_w is not None:
                 # conv'd skip: the second half of a SPLIT conv (v2 concat /
-                # LabelProp channel-slice) — accumulate BEFORE bias+epilogue
+                # LabelProp channel-slice) — skips stay FLOAT (int8 chains
+                # dequant first), accumulated BEFORE bias + epilogue
+                skw = prms[4 if st.scale is not None else 2]
                 skr = skip_refs[st.skip_idx]
                 ks = int(st.skip_w.shape[0])
                 for dy in range(ks):
@@ -211,11 +240,11 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                         sk = skr[0, pl.ds(off - d + dy - ks // 2 + skip_pad,
                                           strip),
                                  pl.ds(dx + skip_cpad - ks // 2, W), :]
-                        acc = acc + jax.lax.dot_general(
-                            sk, prms[-1][dy, dx],
+                        y = y + jax.lax.dot_general(
+                            sk, skw[dy, dx],
                             dimension_numbers=(((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-            y = acc + b_ref[0].astype(jnp.float32)
+            y = y + b_ref[0].astype(jnp.float32)
             if st.scale is not None:
                 scale = prms[2][0].astype(jnp.float32)
                 shift = prms[3][0].astype(jnp.float32)
@@ -271,6 +300,11 @@ def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
         if k + 1 < len(stages):
             bw = stages[k + 1].reach  # border the NEXT stage's taps read
             sref = scratch_refs[k]
+            if stages[k + 1].x_scale:
+                # requantize for the next int8 stage (int8 VMEM scratch):
+                # symmetric round-to-nearest-even at its static input scale
+                y = jnp.clip(jnp.round(y * (1.0 / stages[k + 1].x_scale)),
+                             -127.0, 127.0)
             sref[pl.ds(bw, strip), pl.ds(bw, W), :] = y.astype(sref.dtype)
             if bw:
                 # zero the column borders the next stage's dx taps read
@@ -302,6 +336,11 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
                     and st.scale is None and not st.relu_only
                     and st.skip_idx < 0 and st.skip_w is None
                     and not st.stem_f and not st.argmax_groups), st
+    quant = bool(stages[0].x_scale)
+    assert all(bool(st.x_scale) == quant for st in stages), \
+        "int8 chains quantize every stage together"
+    assert all((st.w_scale is not None) == (quant and not st.pool)
+               for st in stages), "w_scale iff quantized conv stage"
     if stages[-1].argmax_groups:
         st = stages[-1]
         assert st.scale is None and not st.relu_only, \
@@ -330,6 +369,13 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
             if H % b == 0)
     assert H % band == 0, (H, band)
     dtype = x.dtype
+    if quant:
+        # the chain's input enters pre-quantized at stage 0's static scale
+        # (padding zeros are exact in int8); quantize in f32 so bf16 chains
+        # round identically to chain_reference
+        x = jnp.clip(jnp.round(x.astype(jnp.float32)
+                               * (1.0 / stages[0].x_scale)),
+                     -127.0, 127.0).astype(jnp.int8)
 
     if stem_f:
         # split the grouped view into f row-phase buffers: phase p holds
@@ -357,7 +403,9 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
         + [whole(s.shape) for s in skips_p]
     for st in stages:
         cout = int(st.w.shape[3])
-        operands += [jnp.asarray(st.w, dtype),
+        # int8 stages ship int8 kernels (pool selections are 0/1 — exact in
+        # any dtype); skip_w and the epilogue params stay float
+        operands += [jnp.asarray(st.w, jnp.int8 if st.x_scale else dtype),
                      jnp.asarray(st.b, jnp.float32).reshape(1, cout)]
         in_specs += [const(st.w.shape), const((1, cout))]
         if st.scale is not None:
@@ -367,6 +415,10 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
         if st.skip_w is not None:
             operands.append(jnp.asarray(st.skip_w, dtype))
             in_specs.append(const(st.skip_w.shape))
+        if st.w_scale is not None:  # appended LAST (kernel reads prms[-1])
+            operands.append(
+                jnp.asarray(st.w_scale, jnp.float32).reshape(1, cout))
+            in_specs.append(const((1, cout)))
 
     out_shapes = [
         jax.ShapeDtypeStruct((n, H, W, st.argmax_groups), jnp.int32)
@@ -379,7 +431,7 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
     scratch_shapes = [
         pltpu_vmem((band + 2 * depths[k] + 2 * stages[k + 1].reach,
                     W + 2 * stages[k + 1].reach, int(st.w.shape[3])),
-                   dtype)
+                   jnp.int8 if stages[k + 1].x_scale else dtype)
         for k, st in enumerate(stages[:-1])]
 
     kernel = functools.partial(
@@ -414,3 +466,119 @@ def pltpu_vmem(shape, dtype):
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.VMEM(shape, dtype)
+
+
+def _conv_ref(x, w, pad, dil=1, stride=(1, 1), pt=jnp.float32):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=tuple(stride),
+        padding=[(pad, pad), (pad, pad)], rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pt)
+
+
+def chain_reference(x: jax.Array, stages: Sequence[ChainStage],
+                    skips: Sequence[jax.Array] = (),
+                    collect: Optional[list] = None) -> List[jax.Array]:
+    """Plain-XLA mirror of :func:`fused_conv_chain` — same math at the same
+    rounding points (inter-stage rounding to the chain dtype; for int8
+    stages the identical quantize/dequantize forms, with integer convs so
+    the s32 accumulation is exact). Two uses:
+
+    - int8 calibration: run with FLOAT stages and a ``collect`` list — it
+      appends each stage's pre-quant max|input| (the statistic
+      :func:`quantize_chain_stages` turns into static scales);
+    - a test oracle for the kernel (including the quantized form).
+    """
+    stages = list(stages)
+    if not stages[-1].emit:
+        stages[-1] = dataclasses.replace(stages[-1], emit=True)
+    chain_dtype = x.dtype
+    h = x
+    outs = []
+    for k, st in enumerate(stages):
+        if collect is not None:
+            collect.append(float(jnp.max(jnp.abs(
+                h.astype(jnp.float32)))))
+        q = bool(st.x_scale)
+        if q:
+            if k == 0:
+                h = jnp.clip(jnp.round(h.astype(jnp.float32)
+                                       * (1.0 / st.x_scale)), -127., 127.)
+            hi = h.astype(jnp.int32)  # int8 values; s32 convs stay exact
+        cout = int(st.w.shape[3])
+        if st.pool:
+            xs = (hi if q else h).astype(jnp.int32 if q else jnp.float32)
+            y = None
+            for t in range(4):
+                v = jnp.einsum("nhwc,cd->nhwd", xs,
+                               jnp.asarray(st.w)[0, t].astype(xs.dtype))
+                y = v if y is None else jnp.maximum(y, v)
+            y = y.astype(jnp.float32) * (st.x_scale if q else 1.0)
+        else:
+            pt = jnp.int32 if q else jnp.float32
+            w = jnp.asarray(st.w).astype(jnp.int32 if q else jnp.float32)
+            if st.stem_f:
+                f = st.stem_f
+                n, Hf, Wf, cin = h.shape
+                xg = (hi if q else h).reshape(n, Hf, Wf // f, f * cin)
+                acc = _conv_ref(xg.astype(pt), w, pad=1, stride=(f, 1),
+                                pt=pt)
+            else:
+                acc = _conv_ref((hi if q else h).astype(pt), w,
+                                pad=st.reach, dil=st.dil, pt=pt)
+            y = acc.astype(jnp.float32)
+            if q:
+                y = y * (jnp.asarray(st.w_scale, jnp.float32) * st.x_scale)
+            if st.skip_w is not None:
+                sk = skips[st.skip_idx].astype(jnp.float32)
+                y = y + _conv_ref(sk, jnp.asarray(st.skip_w, jnp.float32),
+                                  pad=int(st.skip_w.shape[0]) // 2)
+            y = y + jnp.asarray(st.b, jnp.float32)
+            if st.scale is not None:
+                s = jnp.asarray(st.scale, jnp.float32)
+                sh = jnp.asarray(st.shift, jnp.float32)
+                y = jnp.maximum(y, 0.) * s + sh if st.rbb \
+                    else jnp.maximum(y * s + sh, 0.)
+            elif st.relu_only:
+                y = jnp.maximum(y, 0.)
+            if st.skip_idx >= 0 and st.skip_w is None:
+                y = y + skips[st.skip_idx].astype(jnp.float32)
+        if st.argmax_groups:
+            yr = y.astype(chain_dtype).astype(jnp.float32)
+            n, H, W, _ = yr.shape
+            lab = jnp.argmax(yr.reshape(n, H, W, st.argmax_groups,
+                                        cout // st.argmax_groups), axis=-1)
+            outs.append(lab.astype(jnp.int32))
+            break
+        if st.emit:
+            outs.append(y.astype(chain_dtype))
+        if k + 1 < len(stages):
+            nxt = stages[k + 1]
+            if nxt.x_scale:
+                h = jnp.clip(jnp.round(y * (1.0 / nxt.x_scale)),
+                             -127., 127.)
+            else:
+                h = y.astype(chain_dtype)
+    return outs
+
+
+def quantize_chain_stages(stages: Sequence[ChainStage],
+                          in_maxes: Sequence[float]) -> List[ChainStage]:
+    """Static int8 PTQ of a chain: per-stage input scales from a
+    calibration run's max|input| (``in_maxes``, one per stage — the list
+    :func:`chain_reference` collects), symmetric per-out-channel int8
+    weights. Pool stages keep their exact 0/1 selections (passthrough)."""
+    assert len(stages) == len(in_maxes), (len(stages), len(in_maxes))
+    out = []
+    for st, mx in zip(stages, in_maxes):
+        s = max(float(mx), 1e-6) / 127.0
+        if st.pool:
+            out.append(dataclasses.replace(st, x_scale=s))
+            continue
+        w = np.asarray(st.w, np.float32)
+        ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+        out.append(dataclasses.replace(
+            st, w=jnp.asarray(wq), w_scale=jnp.asarray(ws, jnp.float32),
+            x_scale=s))
+    return out

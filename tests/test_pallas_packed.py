@@ -242,6 +242,18 @@ def test_pallas_serving_data_parallel_shard_map():
     np.testing.assert_array_equal(np.asarray(labels),
                                   np.asarray(fused.infer(x)))
 
+    # int8 PTQ composes with the mesh path: per-stage scales are static
+    # (trace constants), int8 weights/w_scale rows are replicated operands —
+    # the quantized replica matches the single-device quantized graph
+    # exactly
+    qi = packed.quantize_int8(fused, x)
+    sharded_q = jax.jit(jax.shard_map(qi.infer, mesh=mesh,
+                                      in_specs=P("data"),
+                                      out_specs=P("data"),
+                                      check_vma=False))
+    np.testing.assert_array_equal(np.asarray(sharded_q(xs)),
+                                  np.asarray(qi.infer(x)))
+
 
 def test_pallas_gate_rejects_unsupported_combos():
     # fold_stem needs the fully-chained down region (pool, or strided with
@@ -339,6 +351,108 @@ def test_pallas_chain_deep_matches_xla_packed_f32(no_scale, hw):
                                np.asarray(base.logits(x)),
                                rtol=2e-4, atol=2e-4)
     _assert_labels_match(fused, base, x)
+
+
+def test_int8_chain_kernel_matches_quant_mirror():
+    """The int8 kernel's quant math (s8 taps -> s32 accumulate -> f32
+    dequant/epilogue, int8 inter-stage requant) must match the plain-XLA
+    quant mirror exactly — chain_reference uses integer convs, so both
+    sides' accumulations are exact and only the f32 epilogue can differ."""
+    from robocupvision_tpu.ops.pallas_packed import (
+        ChainStage, chain_reference, fused_conv_chain, quantize_chain_stages)
+
+    rng = np.random.default_rng(71)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 16)) * 0.7, jnp.float32)
+    sk = jnp.asarray(rng.standard_normal((2, 16, 16, 16)) * 0.5, jnp.float32)
+    stages = [
+        ChainStage(w=jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.3,
+                                 jnp.float32),
+                   b=rng.standard_normal(16).astype(np.float32) * 0.1,
+                   scale=0.5 + rng.random(16).astype(np.float32),
+                   shift=rng.standard_normal(16).astype(np.float32) * 0.1,
+                   rbb=True, emit=True),
+        ChainStage(w=jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.3,
+                                 jnp.float32),
+                   b=rng.standard_normal(16).astype(np.float32) * 0.1,
+                   relu_only=True, dil=2, skip_idx=0),
+        ChainStage(w=jnp.asarray(rng.standard_normal((1, 1, 16, 16)) * 0.3,
+                                 jnp.float32),
+                   b=rng.standard_normal(16).astype(np.float32) * 0.1),
+    ]
+    col = []
+    ref_f32 = chain_reference(x, stages, skips=[sk], collect=col)
+    qst = quantize_chain_stages(stages, col)
+    ref = chain_reference(x, qst, skips=[sk])
+    got = fused_conv_chain(x, qst, skips=[sk], band=8, interpret=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+    # and the quantization is a small perturbation of the float chain
+    for r, f in zip(ref, ref_f32):
+        denom = float(jnp.max(jnp.abs(f)))
+        err = float(jnp.max(jnp.abs(r - f))) / denom
+        assert err < 0.1, err
+
+
+@pytest.mark.parametrize("family", ["flagship", "unet", "v2",
+                                    "label_prop", "pb_fcn"])
+def test_quantize_int8_families(family):
+    """Static int8 PTQ (models/packed.quantize_int8): high label agreement
+    vs the float chain graph on random weights, and the quantized graph's
+    fused argmax head stays EXACT vs its own logits (the quant error is in
+    the logits, never in the serving argmax)."""
+    rng = np.random.default_rng(81)
+    if family == "flagship":
+        model, params = _build(False, seed=82)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        f = packed.build_packed_infer(model, params, dtype=jnp.bfloat16,
+                                      pallas=True, pallas_interpret=True,
+                                      pallas_fold_stem=True,
+                                      pallas_deep=True)
+    elif family == "unet":
+        model = zoo.make("robo_unet", pool=True, levels=3, belly_size=0)
+        params = _randomized_params(model, 83)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        f = packed.build_packed_infer(model, params, dtype=jnp.bfloat16,
+                                      pallas=True, pallas_interpret=True,
+                                      pallas_fold_stem=True)
+    elif family == "v2":
+        model = zoo.make("robo_unet", v2=True, levels=1, belly_size=9,
+                         belly_planes=64, class_size=3)
+        params = _randomized_params(model, 84)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        f = packed.build_packed_infer(model, params, dtype=jnp.bfloat16,
+                                      pallas=True, pallas_interpret=True,
+                                      pallas_fold_stem=True,
+                                      pallas_deep=True)
+    elif family == "label_prop":
+        model = zoo.make("label_prop")
+        params = _randomized_params(model, 85)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 8)), jnp.float32)
+        f = packed.build_packed_label_prop(
+            model, params, jnp.bfloat16, pallas=True, pallas_interpret=True,
+            pallas_fold_stem=True, pallas_mid=True)
+    else:
+        model = zoo.make("pb_fcn")
+        params = _randomized_params(model, 86)
+        x = jnp.asarray(rng.standard_normal((1, 32, 64, 3)), jnp.float32)
+        f = packed.build_packed_pb_fcn(
+            model, params, jnp.bfloat16, pallas=True, pallas_interpret=True,
+            pallas_deep=True)
+    qi = packed.quantize_int8(f, x)
+    agree = np.mean(np.asarray(qi.infer(x)) == np.asarray(f.infer(x)))
+    # pb_fcn's five-deep dilated chain accumulates the most quant error on
+    # random weights (observed 0.93); the others hold ~0.99
+    assert agree > (0.88 if family == "pb_fcn" else 0.97), agree
+    want = np.argmax(np.asarray(qi.logits(x)), axis=-1)
+    np.testing.assert_array_equal(np.asarray(qi.infer(x)), want)
+    # u8 packed serving form on the quantized graph
+    device_fn, host_unpack = qi.infer_u8_packed()
+    np.testing.assert_array_equal(host_unpack(device_fn(x)),
+                                  want.astype(np.uint8))
+    # double-quantization is refused
+    with pytest.raises(AssertionError):
+        packed.quantize_int8(qi, x)
 
 
 @pytest.mark.parametrize("seed", range(6))

@@ -144,6 +144,12 @@ def run(families, iters, trace=False):
             ("pallas_stem_deep_noargmax", lambda: packed.build_packed_infer(
                 m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
                 pallas_deep=True, pallas_argmax_head=False)),
+            # static int8 PTQ serving (2x MXU peak, int8 scratch); its
+            # `agree` column IS the quantization-accuracy measurement
+            ("pallas_int8", lambda: packed.quantize_int8(
+                packed.build_packed_infer(
+                    m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                    pallas_deep=True), x)),
         ], x)
 
     if "bands" in families:
@@ -175,6 +181,10 @@ def run(families, iters, trace=False):
             ("pallas_stem_deep", lambda: packed.build_packed_infer(
                 m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
                 pallas_deep=True)),
+            ("pallas_int8", lambda: packed.quantize_int8(
+                packed.build_packed_infer(
+                    m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                    pallas_deep=True), x)),
         ], x)
 
     if "lp" in families:
@@ -189,6 +199,10 @@ def run(families, iters, trace=False):
             ("pallas_stem_mid", lambda: packed.build_packed_label_prop(
                 m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
                 pallas_mid=True)),
+            ("pallas_int8", lambda: packed.quantize_int8(
+                packed.build_packed_label_prop(
+                    m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                    pallas_mid=True), x)),
         ], x)
 
     if "pbfcn" in families:
@@ -202,6 +216,9 @@ def run(families, iters, trace=False):
                 m, p, jnp.bfloat16, pallas=True)),
             ("pallas_deep", lambda: packed.build_packed_pb_fcn(
                 m, p, jnp.bfloat16, pallas=True, pallas_deep=True)),
+            ("pallas_int8", lambda: packed.quantize_int8(
+                packed.build_packed_pb_fcn(
+                    m, p, jnp.bfloat16, pallas=True, pallas_deep=True), x)),
         ], x)
 
     if "unet" in families:
@@ -216,6 +233,10 @@ def run(families, iters, trace=False):
         head_to_head("unet_vga_b1", bb, [
             ("pallas_stem", lambda: packed.build_packed_infer(
                 m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True)),
+            ("pallas_int8", lambda: packed.quantize_int8(
+                packed.build_packed_infer(
+                    m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True),
+                x)),
         ], x)
 
     if "v2" in families:
@@ -229,6 +250,10 @@ def run(families, iters, trace=False):
             ("pallas_stem_deep", lambda: packed.build_packed_infer(
                 m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
                 pallas_deep=True)),
+            ("pallas_int8", lambda: packed.quantize_int8(
+                packed.build_packed_infer(
+                    m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                    pallas_deep=True), x)),
         ], x)
 
     # deferred device traces, strictly AFTER every timed window (see above)
