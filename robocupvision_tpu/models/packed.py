@@ -390,7 +390,8 @@ class _PackedBase:
         col = ch.get("collect")
         if col is not None:
             return ppk.chain_reference(x, stages, skips=skips,
-                                       collect=col.setdefault(tag, []))
+                                       collect=col.setdefault(tag, []),
+                                       collect_pct=ch.get("collect_pct"))
         return ppk.fused_conv_chain(x, stages, skips=skips, band=band,
                                     interpret=ch["interpret"])
 
@@ -740,10 +741,17 @@ class PackedPBFCNInfer(_PackedBase):
         return self._blk(blks["head:segmenter.classifier"], up, mut)
 
 
-def quantize_int8(infer, calib_x: jax.Array):
+def quantize_int8(infer, calib_x: jax.Array, pct: Optional[float] = None):
     """Static int8 post-training quantization of a Pallas chain graph
     (serving-only; beyond-reference capability — the v5e int8 MXU peak is
     2x bf16 and int8 scratch halves inter-stage VMEM bytes).
+
+    ``calib_x`` is a batch of representative inputs (stack several frames
+    along the leading axis for a better-conditioned calibration). ``pct``
+    switches the per-stage scale statistic from max|activation| to the
+    pct-th percentile of |activation| (percentile clipping: rare outliers
+    saturate at +-127 instead of stretching every other value's
+    quantization step — usually better for trained ReLU nets).
 
     Runs ONE calibration pass of the plain-XLA chain mirror on ``calib_x``
     (representative inputs) to collect each chain stage's max|activation|,
@@ -766,7 +774,8 @@ def quantize_int8(infer, calib_x: jax.Array):
         st = (ch.get(tag) or [None])[0]
         assert st is None or not st.x_scale, "already quantized"
     collect: dict = {}
-    probe = dataclasses.replace(infer, chains={**ch, "collect": collect})
+    probe = dataclasses.replace(infer, chains={**ch, "collect": collect,
+                                               "collect_pct": pct})
     probe._logits_packed(calib_x)   # plain-XLA mirror pass (see _chain)
     q = dict(ch)
     for tag in ("down", "mid", "deep", "up"):

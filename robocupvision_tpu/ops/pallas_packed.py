@@ -478,7 +478,8 @@ def _conv_ref(x, w, pad, dil=1, stride=(1, 1), pt=jnp.float32):
 
 def chain_reference(x: jax.Array, stages: Sequence[ChainStage],
                     skips: Sequence[jax.Array] = (),
-                    collect: Optional[list] = None) -> List[jax.Array]:
+                    collect: Optional[list] = None,
+                    collect_pct: Optional[float] = None) -> List[jax.Array]:
     """Plain-XLA mirror of :func:`fused_conv_chain` — same math at the same
     rounding points (inter-stage rounding to the chain dtype; for int8
     stages the identical quantize/dequantize forms, with integer convs so
@@ -486,7 +487,10 @@ def chain_reference(x: jax.Array, stages: Sequence[ChainStage],
 
     - int8 calibration: run with FLOAT stages and a ``collect`` list — it
       appends each stage's pre-quant max|input| (the statistic
-      :func:`quantize_chain_stages` turns into static scales);
+      :func:`quantize_chain_stages` turns into static scales), or the
+      ``collect_pct``-th percentile of |input| when set (percentile
+      clipping: outliers saturate at +-127 instead of stretching the
+      scale — usually better for trained ReLU nets);
     - a test oracle for the kernel (including the quantized form).
     """
     stages = list(stages)
@@ -497,8 +501,9 @@ def chain_reference(x: jax.Array, stages: Sequence[ChainStage],
     outs = []
     for k, st in enumerate(stages):
         if collect is not None:
-            collect.append(float(jnp.max(jnp.abs(
-                h.astype(jnp.float32)))))
+            a = jnp.abs(h.astype(jnp.float32))
+            collect.append(float(jnp.quantile(a, collect_pct / 100.0))
+                           if collect_pct is not None else float(jnp.max(a)))
         q = bool(st.x_scale)
         if q:
             if k == 0:

@@ -444,6 +444,13 @@ def test_quantize_int8_families(family):
     # pb_fcn's five-deep dilated chain accumulates the most quant error on
     # random weights (observed 0.93); the others hold ~0.99
     assert agree > (0.88 if family == "pb_fcn" else 0.97), agree
+    if family == "pb_fcn":
+        # percentile-clipped calibration (outliers saturate instead of
+        # stretching the scale) — on random weights it lands in the same
+        # agreement band; the knob exists for trained outlier-heavy nets
+        qp = packed.quantize_int8(f, x, pct=99.9)
+        agree_p = np.mean(np.asarray(qp.infer(x)) == np.asarray(f.infer(x)))
+        assert agree_p > 0.88, agree_p
     want = np.argmax(np.asarray(qi.logits(x)), axis=-1)
     np.testing.assert_array_equal(np.asarray(qi.infer(x)), want)
     # u8 packed serving form on the quantized graph
