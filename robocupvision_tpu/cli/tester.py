@@ -126,10 +126,15 @@ def main(argv=None) -> int:
             from robocupvision_tpu.export import aot
 
             # bake the actual frame shape (the compiled artifact is
-            # shape-specialized, like the benchmarked serving graph)
+            # shape-specialized, like the benchmarked serving graph) and
+            # the serving mode under test: --pallas bakes the fused chain
+            # kernels (real Mosaic for a TPU backend), --int8 the static
+            # PTQ graph calibrated on the first val frame
             hw = tuple(ds[0][0].shape[:2])
-            out = aot.export_serving(dump_dir, model, params_np,
-                                     hw=hw, dtype=jnp.float32)
+            out = aot.export_serving(
+                dump_dir, model, params_np, hw=hw, dtype=jnp.float32,
+                pallas=opt.pallas, int8=opt.int8,
+                calib_x=ds[0][0][None] if opt.int8 else None)
             print(f"Dumped AOT serving graph to {out}")
 
     table = mask_label_table(opt.noBall, opt.noRobot, opt.noGoal, opt.noLine)

@@ -49,6 +49,8 @@ def load_fn(blob: bytes) -> Callable:
 
 def export_serving(path: str, model, params, hw=(480, 640),
                    dtype=None, packed: bool = True, raw_u8: bool = False,
+                   pallas: bool = False, pallas_opts: Optional[dict] = None,
+                   int8: bool = False, calib_x=None,
                    platforms: Optional[Sequence[str]] = None,
                    fname: str = AOT_FNAME) -> str:
     """Write the uint8-label serving graph for ``model`` as an AOT artifact
@@ -58,7 +60,16 @@ def export_serving(path: str, model, params, hw=(480, 640),
     label map — the exact graph bench.py's fps_serving_incl_u8_label_readback
     measures (lane-packed when ``packed``). With ``raw_u8`` (packed only),
     the input is the camera's raw uint8 RGB and the /255+ToYUV+Normalize
-    preprocessing is baked into the graph (models/packed.py infer_u8_io)."""
+    preprocessing is baked into the graph (models/packed.py infer_u8_io).
+
+    ``pallas`` exports the fused-chain form (ops/pallas_packed.py): for a
+    TPU target the real Mosaic kernels are cross-lowered into the artifact
+    even on a CPU host (jax.export serializes the tpu_custom_call); for a
+    CPU target the interpreter form is baked instead. ``pallas_opts`` passes
+    extra chain knobs (pallas_fold_stem/pallas_deep/...). ``int8`` exports
+    the static-PTQ graph (models/packed.quantize_int8 — int8 weights baked
+    in, ~2x smaller artifact); it requires ``calib_x``, a batch of
+    representative float inputs for the one-pass calibration."""
     import jax.numpy as jnp
 
     if dtype is None:
@@ -67,13 +78,30 @@ def export_serving(path: str, model, params, hw=(480, 640),
         raise ValueError("raw_u8 export is for camera-input nets; LabelProp's "
                          "8-channel input (img+flow+prior label) is not raw "
                          "camera bytes")
+    if (pallas or int8) and not packed:
+        raise ValueError("pallas/int8 export requires the packed graph")
+    if int8 and not pallas:
+        raise ValueError("int8 export requires pallas=True (the quantized "
+                         "form lives in the chain kernels)")
+    if int8 and calib_x is None:
+        raise ValueError("int8 export needs calib_x (representative inputs "
+                         "for the one-pass calibration — zeros would "
+                         "produce degenerate scales)")
     if packed:
         from robocupvision_tpu.models import packed as pk
 
         builder = {"pb_fcn": pk.build_packed_pb_fcn,
                    "label_prop": pk.build_packed_label_prop}.get(
                        model.family, pk.build_packed_infer)
-        pi = builder(model, params, dtype=dtype)
+        pkw = {}
+        if pallas:
+            targets = tuple(platforms) if platforms else \
+                (jax.default_backend(),)
+            pkw = dict(pallas=True, pallas_interpret="tpu" not in targets,
+                       **(pallas_opts or {}))
+        pi = builder(model, params, dtype=dtype, **pkw)
+        if int8:
+            pi = pk.quantize_int8(pi, jnp.asarray(calib_x))
         fn = pi.infer_u8_io if raw_u8 else pi.infer_u8
     elif raw_u8:
         raise ValueError("raw_u8 export requires the packed serving graph")

@@ -97,3 +97,85 @@ def test_aot_cross_platform_export_from_cpu(tmp_path, small_unet):
     fn = aot.load_serving(out)
     y = np.asarray(fn(np.zeros((1, 16, 16, 3), np.float32)))
     assert y.shape == (1, 16, 16) and y.dtype == np.uint8
+
+def test_aot_pallas_roundtrip_cpu_target(tmp_path, small_unet):
+    """pallas export for a CPU target bakes the interpreter form of the
+    fused chains; the artifact roundtrips and matches the live chain graph
+    exactly (f32)."""
+    model, params = small_unet
+    out = aot.export_serving(str(tmp_path), model, params, hw=(32, 32),
+                             dtype=jnp.float32, pallas=True,
+                             fname="serving_pallas.stablehlo")
+    fn = aot.load_serving(out)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 3)),
+                   np.float32)
+
+    from robocupvision_tpu.models import packed as pk
+
+    live = pk.build_packed_infer(model, params, dtype=jnp.float32,
+                                 pallas=True,
+                                 pallas_interpret=True).infer_u8
+    np.testing.assert_array_equal(np.asarray(fn(x)),
+                                  np.asarray(jax.jit(live)(x)))
+
+
+def test_aot_pallas_tpu_target_cross_lowered(tmp_path, small_unet):
+    """A TPU-target pallas export from this CPU host cross-lowers the REAL
+    Mosaic kernels into the artifact (jax.export serializes the
+    tpu_custom_call); it deserializes anywhere but refuses to execute on a
+    non-TPU backend — the platform binding the artifact format promises."""
+    model, params = small_unet
+    out = aot.export_serving(str(tmp_path), model, params, hw=(32, 32),
+                             dtype=jnp.float32, pallas=True,
+                             platforms=("tpu",),
+                             fname="serving_mosaic.stablehlo")
+    with open(out, "rb") as f:
+        blob = f.read()
+    assert len(blob) > 1000
+    exp = jax.export.deserialize(blob)
+    assert tuple(exp.platforms) == ("tpu",)
+    with pytest.raises(Exception):
+        exp.call(np.zeros((1, 32, 32, 3), np.float32))
+
+
+def test_aot_int8_roundtrip_and_size(tmp_path, small_unet):
+    """int8 export: the artifact carries int8 weights (materially smaller
+    than the float artifact), roundtrips, and matches the live quantized
+    graph exactly."""
+    model, params = small_unet
+    calib = np.asarray(jax.random.normal(jax.random.PRNGKey(5),
+                                         (1, 32, 32, 3)), np.float32)
+    out_f = aot.export_serving(str(tmp_path), model, params, hw=(32, 32),
+                               dtype=jnp.float32, pallas=True,
+                               fname="serving_f32.stablehlo")
+    out_q = aot.export_serving(str(tmp_path), model, params, hw=(32, 32),
+                               dtype=jnp.float32, pallas=True, int8=True,
+                               calib_x=calib,
+                               fname="serving_int8.stablehlo")
+    import os.path as osp
+    assert osp.getsize(out_q) < osp.getsize(out_f)
+    fn = aot.load_serving(out_q)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (1, 32, 32, 3)),
+                   np.float32)
+
+    from robocupvision_tpu.models import packed as pk
+
+    live = pk.quantize_int8(
+        pk.build_packed_infer(model, params, dtype=jnp.float32, pallas=True,
+                              pallas_interpret=True),
+        jnp.asarray(calib)).infer_u8
+    np.testing.assert_array_equal(np.asarray(fn(x)),
+                                  np.asarray(jax.jit(live)(x)))
+
+
+def test_aot_int8_export_guards(tmp_path, small_unet):
+    model, params = small_unet
+    with pytest.raises(ValueError):   # int8 needs the chain kernels
+        aot.export_serving(str(tmp_path), model, params, hw=(32, 32),
+                           int8=True, calib_x=np.zeros((1, 32, 32, 3)))
+    with pytest.raises(ValueError):   # zeros-free calibration is required
+        aot.export_serving(str(tmp_path), model, params, hw=(32, 32),
+                           pallas=True, int8=True)
+    with pytest.raises(ValueError):   # chains live in the packed graph
+        aot.export_serving(str(tmp_path), model, params, hw=(32, 32),
+                           packed=False, pallas=True)
