@@ -1,0 +1,208 @@
+"""Whole-network structured pruning (ops/slim.py): group-structure validity,
+masked-vs-compacted equality (exact up to float reassociation — removing a
+channel shortens the conv reduction) across families/variants, masked-
+finetune compatibility, and packed-graph parity on slim param dicts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robocupvision_tpu.models import zoo
+from robocupvision_tpu.ops import slim
+
+
+def _np(params):
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def _jx(params):
+    return {k: jnp.asarray(v) for k, v in params.items()}
+
+
+# non-default plane counts keep the arch small but every group non-trivial
+ROBO_VARIANTS = {
+    "flagship": dict(planes=8, levels=2, depth=4, belly_size=5,
+                     belly_planes=32, class_size=1),
+    "v2": dict(planes=8, levels=1, depth=4, belly_size=3, belly_planes=16,
+               class_size=3, v2=True),
+    "unet": dict(planes=8, levels=3, depth=4, belly_size=0, pool=True),
+    "noscale": dict(planes=4, levels=2, depth=4, belly_size=3,
+                    belly_planes=16, no_scale=True),
+}
+
+FAMS = {
+    "robo_unet": (dict(ROBO_VARIANTS["flagship"]), (1, 32, 32, 3)),
+    "pb_fcn_2": (dict(planes=8, depth=4, levels=2, belly_size=3,
+                      belly_planes=16), (1, 32, 32, 3)),
+    "pb_fcn": (dict(planes=16), (1, 32, 32, 3)),
+    "fcn": (dict(planes=16), (1, 32, 32, 3)),
+    "label_prop": (dict(planes=16), (1, 32, 32, 8)),
+}
+
+
+def _model_params(family, kw, seed=0):
+    m = zoo.make(family, **kw)
+    return m, _np(m.init(jax.random.PRNGKey(seed)))
+
+
+def _x(shape, seed=1):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape),
+                       jnp.float32)
+
+
+@pytest.mark.parametrize("family", list(FAMS))
+def test_groups_validate(family):
+    kw, _ = FAMS[family]
+    m, params = _model_params(family, kw)
+    slim.validate_groups(m, params)
+
+
+@pytest.mark.parametrize("variant", list(ROBO_VARIANTS))
+def test_groups_validate_robo_variants(variant):
+    m, params = _model_params("robo_unet", ROBO_VARIANTS[variant])
+    slim.validate_groups(m, params)
+
+
+@pytest.mark.parametrize("variant", list(ROBO_VARIANTS))
+def test_masked_equals_compacted_robo_unet(variant, capsys):
+    m, params = _model_params("robo_unet", ROBO_VARIANTS[variant])
+    groups = slim.channel_groups(m)
+    masked, masks = slim.prune_channels(params, groups, ratio=0.4)
+    assert any(mk.any() for mk in masks.values())
+    slim_p, kept = slim.compact(m, masked)
+    assert slim.param_count(slim_p) < slim.param_count(params)
+
+    x = _x((2, 32, 32, 3) if not m.cfg.no_scale else (2, 32, 32, 3))
+    a, _ = m.apply(_jx(masked), x, train=False)
+    b, _ = m.apply(_jx(slim_p), x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("family", ["pb_fcn_2", "pb_fcn", "fcn", "label_prop"])
+def test_masked_equals_compacted_other_families(family, capsys):
+    kw, xshape = FAMS[family]
+    m, params = _model_params(family, kw)
+    groups = slim.channel_groups(m)
+    masked, masks = slim.prune_channels(params, groups, ratio=0.35)
+    slim_p, kept = slim.compact(m, masked)
+    assert slim.param_count(slim_p) < slim.param_count(params)
+
+    x = _x(xshape)
+    a, _ = m.apply(_jx(masked), x, train=False)
+    b, _ = m.apply(_jx(slim_p), x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pb_fcn_classify_head_stays_loadable():
+    """The slim dict serves BOTH heads: classify-mode apply runs too."""
+    m, params = _model_params("pb_fcn", dict(planes=16, classify=True))
+    groups = slim.channel_groups(m)
+    masked, _ = slim.prune_channels(params, groups, ratio=0.3)
+    slim_p, _ = slim.compact(m, masked)
+    a, _ = m.apply(_jx(masked), _x((1, 32, 32, 3)), train=False)
+    b, _ = m.apply(_jx(slim_p), _x((1, 32, 32, 3)), train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_train_mode_masked_equals_compacted():
+    """Exactness holds in TRAIN mode too (batch-stat BN): a dead channel is
+    zero through batch normalization since gamma == beta == 0."""
+    m, params = _model_params("robo_unet", ROBO_VARIANTS["flagship"])
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.4)
+    slim_p, _ = slim.compact(m, masked)
+    x = _x((2, 32, 32, 3))
+    a, mut_a = m.apply(_jx(masked), x, train=True)
+    b, mut_b = m.apply(_jx(slim_p), x, train=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+    assert set(mut_a) == set(mut_b)
+
+
+def test_masked_finetune_keeps_channels_dead_and_compacts_exactly():
+    """One Adam step with the structured masks (the train step's masked-grad
+    path) leaves pruned channels exactly zero, so compaction stays exact on
+    the finetuned params."""
+    import optax
+
+    from robocupvision_tpu.models.layers import is_weight
+    from robocupvision_tpu.ops.pruning import mask_gradients
+    from robocupvision_tpu.ops.losses import cross_entropy_2d
+
+    m, params = _model_params("robo_unet", ROBO_VARIANTS["flagship"])
+    masked, masks = slim.prune_channels(params, slim.channel_groups(m),
+                                        ratio=0.4)
+    x = _x((2, 32, 32, 3))
+    y = jnp.asarray(np.random.default_rng(3).integers(0, 5, (2, 32, 32)))
+
+    train_p = {k: jnp.asarray(v) for k, v in masked.items() if is_weight(k)}
+    state_p = {k: jnp.asarray(v) for k, v in masked.items()
+               if not is_weight(k)}
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(train_p)
+
+    def loss_fn(tp):
+        out, mut = m.apply({**tp, **state_p}, x, train=True)
+        return cross_entropy_2d(out, y, jnp.ones(5)), mut
+
+    (_, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_p)
+    grads = mask_gradients(grads, masks)
+    updates, opt_state = tx.update(grads, opt_state, train_p)
+    train_p = optax.apply_updates(train_p, updates)
+    stepped = _np({**train_p, **state_p, **mut})
+
+    # pruned positions stayed exactly zero -> compaction still exact
+    for name, mk in masks.items():
+        assert not np.asarray(stepped[name])[mk].any(), name
+    slim_p, _ = slim.compact(m, stepped)
+    a, _ = m.apply(_jx(stepped), x, train=False)
+    b, _ = m.apply(_jx(slim_p), x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_round_to_and_min_keep():
+    m, params = _model_params("robo_unet", ROBO_VARIANTS["flagship"])
+    groups = slim.channel_groups(m)
+    _, masks = slim.prune_channels(params, groups, ratio=0.9, round_to=4,
+                                   min_keep=4)
+    masked, _ = slim.prune_channels(params, groups, ratio=0.9, round_to=4,
+                                    min_keep=4)
+    slim_p, kept = slim.compact(m, masked)
+    for g, (gid, n) in zip(groups, kept.items()):
+        assert n >= 4 and n % 4 == 0 or n == g.size, (gid, n, g.size)
+
+
+def test_compact_noop_on_dense_params():
+    m, params = _model_params("robo_unet", ROBO_VARIANTS["flagship"])
+    slim_p, kept = slim.compact(m, params)
+    assert slim.param_count(slim_p) == slim.param_count(params)
+    x = _x((1, 32, 32, 3))
+    a, _ = m.apply(_jx(params), x, train=False)
+    b, _ = m.apply(_jx(slim_p), x, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # true no-op
+
+
+@pytest.mark.parametrize("variant", ["flagship", "v2", "unet"])
+def test_packed_infer_parity_on_slim_params(variant):
+    """The packed serving graph builds from a slim dict unchanged (widths
+    flow from array shapes) and matches the slim zoo apply."""
+    from robocupvision_tpu.models import packed
+
+    m, params = _model_params("robo_unet", ROBO_VARIANTS[variant])
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.4)
+    slim_p, _ = slim.compact(m, masked)
+
+    x = _x((1, 32, 32, 3))
+    want, _ = m.apply(_jx(slim_p), x, train=False)
+    inf = packed.build_packed_infer(m, _jx(slim_p), dtype=jnp.float32)
+    got = inf.logits(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(inf.infer(x)),
+        np.asarray(jnp.argmax(want, axis=-1).astype(jnp.int32)))
