@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "(full TrainState + optimizer + best + rng) and, if one "
                    "exists, continue the killed run from it bit-identically",
                    action="store_true", default=False)
+    p.add_argument("--pruneStruct", help="Structured pruning ratio for the "
+                   "post-finetune phase: prune whole channel groups "
+                   "(ops/slim.py) instead of individual weights, run the "
+                   "same 25-epoch masked finetune, then compact the best "
+                   "params to a slim checkpoint (<pruned name>.slim) with "
+                   "genuinely fewer MACs everywhere downstream (packed "
+                   "serving, net.cfg export, the C++ engine); 0 = reference "
+                   "unstructured pruning", type=float, default=0.0)
     return p
 
 
@@ -262,7 +270,15 @@ def main(argv=None) -> int:
             if finetune and transfer == 0:
                 best_path = naming.train_ckpt_name(flags, 0)
                 params = checkpoint.load_any(best_path, model.registry)
-                params, masks = prune_ops.prune_threshold(params, model.param_order)
+                if opt.pruneStruct > 0:
+                    from robocupvision_tpu.ops import slim as slim_ops
+
+                    slim_groups = slim_ops.channel_groups(model)
+                    params, masks = slim_ops.prune_channels(
+                        params, slim_groups, opt.pruneStruct)
+                else:
+                    params, masks = prune_ops.prune_threshold(
+                        params, model.param_order)
 
                 cfg_p = StepCfg(num_classes=num_classes,
                                 loss="dice" if opt.useDice else "ce2d",
@@ -317,6 +333,20 @@ def main(argv=None) -> int:
                                                          prune_pct=prune_pct,
                                                          mflops=mflops)
                     checkpoint.save(pruned_path, model.registry, best_params)
+                    if opt.pruneStruct > 0:
+                        # compact the structurally-dead channels: a slim
+                        # sibling artifact with real per-layer width cuts
+                        from robocupvision_tpu.ops import slim as slim_ops
+
+                        bp = {k: np.asarray(v) for k, v in best_params.items()}
+                        slim_params, _ = slim_ops.compact(model, bp)
+                        slim_path = pruned_path + ".slim"
+                        checkpoint.save(slim_path, model.registry,
+                                        slim_params, slim=True)
+                        n0 = slim_ops.param_count(bp)
+                        n1 = slim_ops.param_count(slim_params)
+                        print("Compacted %s: %d -> %d params (%.1f%% fewer)"
+                              % (slim_path, n0, n1, 100.0 * (1 - n1 / n0)))
 
             # combo fully done (incl. pruning phase) — mark it so a
             # restarted sweep skips it entirely

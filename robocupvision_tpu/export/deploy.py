@@ -37,6 +37,10 @@ def export_deployment(path: str, model: Model, params: Dict[str, np.ndarray],
         skip = ()
     else:
         raise ValueError(f"no deployment graph emitter for family {fam}")
+    # slim (structurally-pruned) checkpoints carry non-uniform widths; for a
+    # dense dict this is a no-op (keeps structural identity with the
+    # reference's hand-maintained cfg files, test_export.py)
+    secs = netcfg.apply_param_widths(secs, model.registry, params, skip)
     netcfg.write_cfg(os.path.join(path, "net.cfg"), secs)
     weights_io.save_params(path, model.registry, params, fname=fname,
                            skip_prefixes=skip)

@@ -218,6 +218,31 @@ def robo_unet_sections(cfg) -> List[Section]:
     return secs
 
 
+def apply_param_widths(secs: List[Section], reg, params,
+                       skip_prefixes: Tuple[str, ...] = ()) -> List[Section]:
+    """Rewrite each [convolutional]/[transposedconv] section's ``filters``
+    from the actual kernel shapes. The emitters above derive widths from the
+    model config; structurally-pruned (slim) checkpoints carry non-uniform
+    per-layer widths instead (ops/slim.py). Section order equals the
+    registry's conv/tconv order minus ``skip_prefixes`` — the same invariant
+    the flat weights.dat reader (run_cfg / the C++ engine) depends on. A
+    dense dict round-trips unchanged."""
+    kernels = [n for n, s in reg.specs.items()
+               if s.kind in ("conv_w", "tconv_w")
+               and not any(n.startswith(p) for p in skip_prefixes)]
+    out: List[Section] = []
+    ki = 0
+    for name, kv in secs:
+        if name in ("convolutional", "transposedconv"):
+            w = np.asarray(params[kernels[ki]])
+            ki += 1
+            kv = dict(kv, filters=int(w.shape[-1]))
+        out.append((name, kv))
+    if ki != len(kernels):
+        raise ValueError(f"cfg has {ki} weighted layers, registry {len(kernels)}")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # JAX interpreter over (cfg, flat weights)
 # ---------------------------------------------------------------------------

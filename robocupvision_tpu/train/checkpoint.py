@@ -21,24 +21,32 @@ import numpy as np
 from robocupvision_tpu.models.layers import Registry
 
 MAGIC_KEY = "__robocupvision_tpu__"
+SLIM_KEY = "__slim__"  # structurally-pruned dict: per-layer widths differ
 
 
-def save(path: str, reg: Registry, params: Dict[str, "np.ndarray"]) -> None:
+def save(path: str, reg: Registry, params: Dict[str, "np.ndarray"],
+         slim: bool = False) -> None:
+    """``slim=True`` marks a structurally-pruned (compacted, ops/slim.py)
+    checkpoint whose array shapes legitimately differ from the registry —
+    load_any skips shape validation for marked files only."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {name: np.asarray(params[name]) for name in reg.specs}
     arrays[MAGIC_KEY] = np.array(1)
+    if slim:
+        arrays[SLIM_KEY] = np.array(1)
     with open(path, "wb") as f:
         np.savez_compressed(f, **arrays)
 
 
 def _load_npz(path: str, reg: Registry) -> Dict[str, np.ndarray]:
     with np.load(path, allow_pickle=False) as z:
+        is_slim = SLIM_KEY in z
         out = {}
         for name, spec in reg.specs.items():
             if name not in z:
                 raise KeyError(f"{path}: missing {name}")
             a = z[name]
-            if tuple(a.shape) != tuple(spec.shape):
+            if not is_slim and tuple(a.shape) != tuple(spec.shape):
                 raise ValueError(f"{path}: {name} shape {a.shape} != {spec.shape}")
             out[name] = a.astype(np.float32)
         return out

@@ -206,3 +206,131 @@ def test_packed_infer_parity_on_slim_params(variant):
     np.testing.assert_array_equal(
         np.asarray(inf.infer(x)),
         np.asarray(jnp.argmax(want, axis=-1).astype(jnp.int32)))
+
+
+# ---- export / checkpoint / CLI integration ----------------------------------
+
+
+def test_slim_deploy_export_interpreter_and_engine(tmp_path, monkeypatch):
+    """A slim dict exports to net.cfg (per-layer widths from the params) +
+    weights.dat; the cfg interpreter AND the native C++ engine agree with
+    the slim zoo apply."""
+    from robocupvision_tpu.export import deploy, netcfg
+    from robocupvision_tpu.export.engine import NativeEngine
+
+    monkeypatch.chdir(tmp_path)
+    m, params = _model_params("robo_unet", ROBO_VARIANTS["flagship"])
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.4)
+    slim_p, _ = slim.compact(m, masked)
+
+    deploy.export_deployment("weightsSlim", m, slim_p)
+    secs = netcfg.parse_cfg("weightsSlim/net.cfg")
+    filters = [int(kv["filters"]) for name, kv in secs
+               if name == "convolutional"]
+    dense = [int(kv["filters"]) for name, kv in
+             netcfg.robo_unet_sections(m.cfg) if name == "convolutional"]
+    assert filters != dense and filters[-1] == dense[-1]  # head untouched
+
+    x = np.random.default_rng(2).standard_normal((1, 32, 32, 3)).astype(np.float32)
+    deploy.verify_deployment("weightsSlim", m, slim_p, x)
+
+    eng = NativeEngine("weightsSlim/net.cfg", "weightsSlim/weights.dat")
+    assert eng.weights_fully_consumed
+    probs = eng.forward(np.ascontiguousarray(x[0].transpose(2, 0, 1)))
+    want, _ = m.apply(_jx(slim_p), jnp.asarray(x), train=False)
+    agree = float(np.mean(np.argmax(probs, axis=0)
+                          == np.asarray(jnp.argmax(want[0], axis=-1))))
+    assert agree >= 0.999, agree
+
+
+def test_slim_checkpoint_roundtrip(tmp_path):
+    from robocupvision_tpu.train import checkpoint
+
+    m, params = _model_params("robo_unet", ROBO_VARIANTS["flagship"])
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.4)
+    slim_p, _ = slim.compact(m, masked)
+
+    path = str(tmp_path / "slim.weights")
+    checkpoint.save(path, m.registry, slim_p, slim=True)
+    loaded = checkpoint.load_any(path, m.registry)
+    for k, v in slim_p.items():
+        np.testing.assert_array_equal(np.asarray(v), loaded[k], err_msg=k)
+
+    # unmarked files keep the strict shape guard
+    dense_path = str(tmp_path / "broken.weights")
+    checkpoint.save(dense_path, m.registry, slim_p)  # no slim marker
+    with pytest.raises(ValueError):
+        checkpoint.load_any(dense_path, m.registry)
+
+
+def test_structured_prune_tool_ratio_mode(tmp_path, monkeypatch, capsys):
+    """tools/structured_prune.py --ratio: whole-network slim of a train.py
+    flagship checkpoint + deployment artifacts that self-verify."""
+    from robocupvision_tpu.cli.train import model_hyper
+    from robocupvision_tpu.export import deploy
+    from robocupvision_tpu.tools import structured_prune
+    from robocupvision_tpu.train import checkpoint
+
+    monkeypatch.chdir(tmp_path)
+    m = zoo.make("robo_unet", **model_hyper(False, False))
+    params = _np(m.init(jax.random.PRNGKey(0)))
+    checkpoint.save("checkpoints/best.weights", m.registry, params)
+
+    rc = structured_prune.main([
+        "--checkpoint", "checkpoints/best.weights", "--ratio", "0.5",
+        "--out", "checkpoints/bestSlim.weights", "--deploy", "weightsSlim"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "slim:" in out and "% fewer" in out
+
+    slim_p = checkpoint.load_any("checkpoints/bestSlim.weights", m.registry)
+    assert slim.param_count(slim_p) < slim.param_count(params)
+    # round_to=8 default: every conv width is a lane-friendly multiple of 8
+    for k, v in slim_p.items():
+        if k.endswith(".conv.weight"):
+            assert v.shape[-1] % 8 == 0 or v.shape[-1] == 3, (k, v.shape)
+
+    x = np.random.default_rng(0).standard_normal((1, 120, 160, 3)).astype(np.float32)
+    deploy.verify_deployment("weightsSlim", m, slim_p, x)
+
+
+@pytest.mark.parametrize("variant", ["flagship", "v2", "unet"])
+def test_pallas_chains_on_slim_params(variant):
+    """The Pallas fused-region chains build from a slim dict (stage widths
+    flow from the packed kernels) and match the XLA packed path per-pixel
+    (interpret mode; v2 exercises equal-width split halves — guaranteed by
+    the joint skip/up groups)."""
+    from robocupvision_tpu.models import packed
+
+    m, params = _model_params("robo_unet", ROBO_VARIANTS[variant])
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.4)
+    slim_p, _ = slim.compact(m, masked)
+    jx = _jx(slim_p)
+
+    x = _x((1, 32, 32, 3))
+    base = packed.build_packed_infer(m, jx, dtype=jnp.float32)
+    chain = packed.build_packed_infer(m, jx, dtype=jnp.float32, pallas=True,
+                                      pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(chain.logits(x)),
+                               np.asarray(base.logits(x)),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(chain.infer(x)),
+                                  np.asarray(base.infer(x)))
+
+
+def test_int8_quantization_on_slim_chains():
+    """Static int8 PTQ composes with slim dicts: quantize the slim Pallas
+    chain graph and require high label agreement vs the float slim graph."""
+    from robocupvision_tpu.models import packed
+
+    m, params = _model_params("robo_unet", ROBO_VARIANTS["flagship"])
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.4)
+    slim_p, _ = slim.compact(m, masked)
+    jx = _jx(slim_p)
+
+    x = _x((1, 32, 32, 3))
+    f = packed.build_packed_infer(m, jx, dtype=jnp.bfloat16, pallas=True,
+                                  pallas_interpret=True)
+    q = packed.quantize_int8(f, x)
+    agree = float(jnp.mean(q.infer(x) == f.infer(x)))
+    assert agree >= 0.95, agree

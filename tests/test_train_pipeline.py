@@ -724,3 +724,58 @@ def test_train_cli_transfer_sweep(data_root, tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "bestFinetuneT4.weights" in out and "bestFinetuneT1.weights" in out
+
+
+@pytest.mark.slow
+def test_train_cli_prune_struct_e2e(data_root, tmp_path, monkeypatch, capsys):
+    """--pruneStruct: the post-finetune phase prunes whole channel groups,
+    masked-finetunes, and compacts the best params to a .slim sibling
+    checkpoint that loads (slim marker) and serves via the packed graph."""
+    import glob as globlib
+
+    import jax.numpy as jnp
+
+    from robocupvision_tpu.cli import test as cli_test
+    from robocupvision_tpu.cli import train as cli_train
+    from robocupvision_tpu.cli.train import model_hyper
+    from robocupvision_tpu.models import packed, zoo
+    from robocupvision_tpu.ops import slim
+    from robocupvision_tpu.train import checkpoint
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli_train.main(["--root", data_root, "--epochs", "1",
+                         "--batchSize", "8"] + LAB)
+    assert rc == 0
+    rc = cli_train.main(["--root", data_root, "--epochs", "1", "--batchSize",
+                         "8", "--finetune", "--pruneStruct", "0.4"] + LAB)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Structured prune: kept" in out and "Compacted" in out
+
+    slim_paths = globlib.glob("checkpoints/bestFinetune*_*.weights.slim")
+    assert slim_paths, "no slim artifact written"
+    model = zoo.make("robo_unet", **model_hyper(False, False))
+    dense = checkpoint.load_any(slim_paths[0][: -len(".slim")], model.registry)
+    slim_p = checkpoint.load_any(slim_paths[0], model.registry)
+    assert slim.param_count(slim_p) < slim.param_count(dense)
+
+    # the slim checkpoint serves through the packed graph and matches the
+    # masked (dense) pruned checkpoint's labels
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 48, 64, 3)), jnp.float32)
+    jx = {k: jnp.asarray(v) for k, v in slim_p.items()}
+    labels_slim = np.asarray(packed.build_packed_infer(
+        model, jx, dtype=jnp.float32).infer(x))
+    dense_logits, _ = model.apply(
+        {k: jnp.asarray(v) for k, v in dense.items()}, x, train=False)
+    agree = float(np.mean(labels_slim
+                          == np.asarray(jnp.argmax(dense_logits, -1))))
+    assert agree >= 0.999, agree
+
+    # the dense pruned checkpoint remains the test.py eval surface
+    # (--finetune globs the pruned *_*.weights family; .slim stays out)
+    rc = cli_test.main(["--root", data_root, "--batchSize", "8",
+                        "--finetune"] + LAB)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Mean IoU" in out and ".weights.slim" not in out

@@ -239,6 +239,36 @@ def run(families, iters, trace=False):
                 x)),
         ], x)
 
+    if "slim" in families:
+        # structured 50% channel prune (ops/slim.py, lane-friendly widths):
+        # same graph family, roughly half the MACs — read against the
+        # flagship_vga_b1 row from the same run for the dense-vs-slim fps
+        # delta (agreement here is slim-pallas vs slim-XLA, both slim)
+        import numpy as np
+
+        from robocupvision_tpu.ops import slim as slim_ops
+
+        m = zoo.make("robo_unet", no_scale=True)
+        p0 = {k: np.asarray(v)
+              for k, v in m.init(jax.random.PRNGKey(0)).items()}
+        masked, _ = slim_ops.prune_channels(
+            p0, slim_ops.channel_groups(m), 0.5, min_keep=8, round_to=8,
+            verbose=False)
+        sp, _ = slim_ops.compact(m, masked)
+        p = {k: jnp.asarray(v) for k, v in sp.items()}
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 480, 640, 3),
+                              jnp.float32)
+        bb = packed.build_packed_infer(m, p, jnp.bfloat16)
+        head_to_head("flagship_vga_slim50_b1", bb, [
+            ("pallas_stem_deep", lambda: packed.build_packed_infer(
+                m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                pallas_deep=True)),
+            ("pallas_int8", lambda: packed.quantize_int8(
+                packed.build_packed_infer(
+                    m, p, jnp.bfloat16, pallas=True, pallas_fold_stem=True,
+                    pallas_deep=True), x)),
+        ], x)
+
     if "v2" in families:
         m = zoo.make("robo_unet", no_scale=True, v2=True, levels=1,
                      belly_size=9, belly_planes=64, class_size=3)
@@ -272,7 +302,7 @@ if __name__ == "__main__":
     ap.add_argument("--families",
                     default="flagship,qvga,lp,pbfcn,v2,unet",
                     help="comma list from: "
-                         "flagship,bands,qvga,lp,pbfcn,v2,unet")
+                         "flagship,bands,qvga,lp,pbfcn,v2,unet,slim")
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--trace", action="store_true", default=False,
                     help="also report device-trace us/frame per variant")

@@ -35,6 +35,8 @@ try2 1500 "probe: lp,pbfcn,v2,unet (trace)" \
     python tools/pallas_chip_probe.py --families lp,pbfcn,v2,unet --trace
 try2 900 "probe: band sweep" \
     python tools/pallas_chip_probe.py --families bands
+try2 900 "probe: structured-slim head-to-head" \
+    python tools/pallas_chip_probe.py --families flagship,slim
 
 for run in 1 2 3; do
     stamp "bench run $run (driver-style)"
