@@ -307,8 +307,16 @@ def main(argv=None) -> int:
 
                 prune_resume = f"{path}.resume-prune-{decay:g}.npz" \
                     if opt.resume else None
+                # unstructured masks barely move the function (near-zero
+                # weights zeroed): lr/20 suffices (reference train.py:377).
+                # A structured cut removes whole channels — recovery needs
+                # the real finetune lr (measured: lr/20 recovers 0.16 vs
+                # dense 0.51 mIoU on the tiny harness; lr recovers fully,
+                # tests/test_trained_accuracy_parity.py).
+                lr_ft = learning_rate if opt.pruneStruct > 0 \
+                    else learning_rate / 20
                 best_loss, best_params, ms = tr.train_run(
-                    25, [learning_rate / 20] * 25, prune_masks=masks,
+                    25, [lr_ft] * 25, prune_masks=masks,
                     chunk_epochs=opt.chunkEpochs or None,
                     on_chunk=on_prune_chunk, resume_path=prune_resume)
                 if prune_resume is not None and os.path.exists(prune_resume):

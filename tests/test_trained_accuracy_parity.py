@@ -280,3 +280,60 @@ def test_trained_miou_two_stage_finetune_matches_reference(data, finetune_data):
     assert ours > 0.45, f"ours failed to learn: mIoU={ours:.4f}"
     assert ref > 0.45, f"reference failed to learn: mIoU={ref:.4f}"
     assert abs(ours - ref) < 0.1, (ours, ref)
+
+
+def test_structured_prune_recovers_accuracy(data):
+    """The structured-pruning value chain end to end: train dense ->
+    prune 40% of every channel group -> 25-epoch masked finetune (the
+    reference's prune-phase recipe, train.py:375-388) -> compact. The slim
+    model's mIoU stays within tolerance of the dense model's on the same
+    val split — i.e. the feature is usable for its purpose (smaller,
+    faster deployment at near-dense accuracy)."""
+    import jax.numpy as jnp
+
+    from robocupvision_tpu.data.device_cache import DeviceCache
+    from robocupvision_tpu.models import zoo
+    from robocupvision_tpu.ops import slim
+    from robocupvision_tpu.train import optim, step as tstep
+    from robocupvision_tpu.train.loop import Trainer
+
+    tr_imgs, tr_labs, va_imgs, va_labs = data
+    model = zoo.make("robo_unet", **ARCH)
+    cfg = tstep.StepCfg(num_classes=5, class_weights=WEIGHTS,
+                        out_size=1.0 / (H * W), augment=False)
+    trn = Trainer(model, optim.adam(), cfg,
+                  DeviceCache.from_numpy(tr_imgs, tr_labs),
+                  DeviceCache.from_numpy(va_imgs, va_labs), BATCH)
+    trn.init()
+    for _ in range(EPOCHS):
+        trn.train_epoch(LR)
+    ev = tstep.make_eval_step(model, cfg)
+
+    def miou_of(params) -> float:
+        out = ev({k: jnp.asarray(v) for k, v in params.items()},
+                 jnp.asarray(va_imgs), jnp.asarray(va_labs),
+                 jnp.ones((len(va_imgs),), jnp.float32))
+        return _miou(np.asarray(out["pred"]), va_labs)
+
+    dense = trn.params_numpy()
+    dense_miou = miou_of(dense)
+
+    masked, masks = slim.prune_channels(dense, slim.channel_groups(model),
+                                        ratio=0.4)
+    pruned_miou = miou_of(masked)          # before any recovery
+    # structured cuts need a REAL finetune lr (lr/20 recovers 0.16 of the
+    # dense 0.51 here; lr recovers fully — hence cli/train's lr_ft choice)
+    trn.set_params(masked, reset_opt=True)
+    for _ in range(EPOCHS):
+        trn.train_epoch(LR, prune_masks=masks)
+    finetuned = trn.params_numpy()
+    slim_p, _ = slim.compact(model, finetuned)
+    slim_miou = miou_of(slim_p)
+
+    n0, n1 = slim.param_count(dense), slim.param_count(slim_p)
+    print(f"structured prune: dense mIoU={dense_miou:.4f} "
+          f"pruned(no finetune)={pruned_miou:.4f} slim={slim_miou:.4f} "
+          f"params {n0}->{n1}")
+    assert n1 < 0.55 * n0, (n0, n1)
+    assert dense_miou > 0.45, dense_miou
+    assert slim_miou > dense_miou - 0.1, (dense_miou, slim_miou)
