@@ -220,6 +220,28 @@ def bench_vga_inference():
                                                 iters=800)
         _emit(out)
 
+    # structured 50% channel prune (ops/slim.py) of the SAME flagship:
+    # roughly half the MACs — read against fps_packed_bf16_b1 for the
+    # dense-vs-slim serving delta (PERF.md r4 1d: sub-128 widths still pad
+    # MXU lanes, so the gain is measured, not assumed)
+    if _left() > 60:
+        try:
+            from robocupvision_tpu.ops import slim as slim_ops
+
+            p_np = {k: np.asarray(v) for k, v in params.items()}
+            masked, _ = slim_ops.prune_channels(
+                p_np, slim_ops.channel_groups(model), 0.5, min_keep=8,
+                round_to=8, verbose=False)
+            sp, _ = slim_ops.compact(model, masked)
+            psl = packed.build_packed_infer(
+                model, {k: jnp.asarray(v) for k, v in sp.items()},
+                dtype=jnp.bfloat16)
+            out["fps_packed_bf16_b1_slim50"] = \
+                1.0 / _time(jax.jit(psl.infer), x1, iters=600)
+        except Exception as e:
+            out["slim50_error"] = repr(e)[:200]
+        _emit(out)
+
     # packed LabelProp (the temporal net validLabelProp.py latency-measures;
     # its 8-ch full-res input is the repo's worst lane-waste case)
     if _left() > 60:
