@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "see PERF.md; default architecture only)")
     p.add_argument("--root", type=str,
                    default=os.environ.get("ROBOCUP_DATA", "../../Data/RoboCup"))
+    p.add_argument("--ckpt", type=str, default="",
+                   help="explicit checkpoint path override (framework "
+                        "extension) — e.g. a structurally-pruned .slim "
+                        "artifact from --pruneStruct / structured_prune; "
+                        "slim widths flow through the graph and the op "
+                        "counts automatically")
     return p
 
 
@@ -63,7 +69,7 @@ def main(argv=None) -> int:
     belly_planes = num_planes * 2 ** (depth - 1) if opt.v2 else num_planes * 2 ** depth
 
     name = naming.test_ckpt_glob_base(flags)
-    weights_path = name + ".weights"
+    weights_path = opt.ckpt or (name + ".weights")
 
     ds = SSYUVDataset(opt.root, lab_size, False, opt.finetune, camera)
     if len(ds) == 0:

@@ -237,6 +237,11 @@ def robo_unet_get_computations(cfg: RoboUNetCfg, params: Optional[Params] = None
     Conv cost: k*k*W*H*Cin*Cout*2*nnz_ratio + W*H*Cout*4 (the BN/ReLU tail);
     pool cost: W*H*C; the final entry is the segmenter estimate
     H*W*nClass*planes*2 (kept verbatim from the reference formula).
+
+    When ``params`` is given, per-layer widths are read from the actual
+    kernel shapes, so structurally-compacted (slim, ops/slim.py) dicts
+    report their true reduced cost; dense and masked dicts carry the cfg
+    widths and are unchanged.
     """
     H, W = cfg.img_shape
 
@@ -253,6 +258,9 @@ def robo_unet_get_computations(cfg: RoboUNetCfg, params: Optional[Params] = None
     pl = cfg.planes
 
     def conv_cost(name, cin, cout, k, stride, w, h):
+        if params is not None and name + ".weight" in params:
+            kshape = params[name + ".weight"].shape  # (kh, kw, cin, cout)
+            k, cin, cout = int(kshape[0]), int(kshape[2]), int(kshape[3])
         w2, h2 = w // stride, h // stride
         comp.append(k * k * w2 * h2 * cin * cout * 2 * ratio(name) + w2 * h2 * cout * 4)
         return w2, h2
@@ -291,6 +299,9 @@ def robo_unet_get_computations(cfg: RoboUNetCfg, params: Optional[Params] = None
         if i > 0 and cfg.v2:
             n_ch *= 2
         name = f"upPart.Up{i}.conv"
+        if params is not None and name + ".weight" in params:
+            kshape = params[name + ".weight"].shape  # (kh, kw, cin, cout)
+            n_ch, o_ch = int(kshape[2]), int(kshape[3])
         comp.append(3 * 3 * w * h * n_ch * o_ch * 2 * ratio(name) + w * h * o_ch * 4)
         w, h = w * 2, h * 2
     comp.append(H * W * cfg.num_classes * pl * 2)

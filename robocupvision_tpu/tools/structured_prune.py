@@ -73,7 +73,9 @@ def main(argv=None) -> int:
                                         round_to=opt.roundTo)
         new_params, kept = slim.compact(model, masked)
         new_model = model
-        after = sum(zoo.robo_unet_get_computations(model.cfg, masked,
+        # widths read from the compacted shapes -> the slim net's TRUE cost
+        # (the masked dict's nnz ratio misses the consumers' dead in-slices)
+        after = sum(zoo.robo_unet_get_computations(model.cfg, new_params,
                                                    pruned=True))
         n0, n1 = slim.param_count(params), slim.param_count(new_params)
         print(f"slim: {n0} -> {n1} params ({100 * (1 - n1 / n0):.1f}% fewer); "

@@ -3,11 +3,16 @@ masked-vs-compacted equality (exact up to float reassociation — removing a
 channel shortens the conv reduction) across families/variants, masked-
 finetune compatibility, and packed-graph parity on slim param dicts."""
 
+import os.path as osp
+import sys
+
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 from robocupvision_tpu.models import zoo
 from robocupvision_tpu.ops import slim
@@ -334,3 +339,49 @@ def test_int8_quantization_on_slim_chains():
     q = packed.quantize_int8(f, x)
     agree = float(jnp.mean(q.infer(x) == f.infer(x)))
     assert agree >= 0.95, agree
+
+
+def test_get_computations_shape_driven_for_slim():
+    """Analytic op counts read widths from compacted shapes: the slim dict
+    reports strictly fewer ops than the masked dict's nnz-ratio estimate
+    (which can't see consumers' dead in-slices); dense params unchanged."""
+    m, params = _model_params("robo_unet", ROBO_VARIANTS["flagship"])
+    dense_cost = sum(zoo.robo_unet_get_computations(m.cfg))
+    dense_cost_p = sum(zoo.robo_unet_get_computations(m.cfg, params,
+                                                      pruned=True))
+    assert dense_cost_p == pytest.approx(dense_cost, rel=1e-6)
+
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.5)
+    slim_p, _ = slim.compact(m, masked)
+    masked_cost = sum(zoo.robo_unet_get_computations(m.cfg, masked,
+                                                     pruned=True))
+    slim_cost = sum(zoo.robo_unet_get_computations(m.cfg, slim_p,
+                                                   pruned=True))
+    assert slim_cost < masked_cost < dense_cost
+
+
+def test_detect_cli_slim_ckpt(tmp_path, monkeypatch, capsys):
+    """detect --ckpt serves a .slim artifact end to end (masks written,
+    op counts from the slim shapes)."""
+    from synth_data import make_dataset_root
+
+    from robocupvision_tpu.cli import detect as cli_detect
+    from robocupvision_tpu.cli.train import model_hyper
+    from robocupvision_tpu.train import checkpoint
+
+    root = str(tmp_path / "data")
+    make_dataset_root(root, size=(48, 64))
+    monkeypatch.chdir(tmp_path)
+
+    m = zoo.make("robo_unet", **model_hyper(False, False))
+    params = _np(m.init(jax.random.PRNGKey(0)))
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.5)
+    slim_p, _ = slim.compact(m, masked)
+    checkpoint.save("checkpoints/slim.weights.slim", m.registry, slim_p,
+                    slim=True)
+
+    rc = cli_detect.main(["--root", root, "--ckpt",
+                          "checkpoints/slim.weights.slim"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "wrote" in out and osp.exists("output/0.png")
