@@ -228,7 +228,11 @@ def bench_vga_inference():
         try:
             from robocupvision_tpu.ops import slim as slim_ops
 
-            p_np = {k: np.asarray(v) for k, v in params.items()}
+            # HOST-side random params of the registry shapes — NEVER
+            # np.asarray(device params) here: a bulk D2H before a timed
+            # window degrades every subsequent dispatch in this process to
+            # ~RTT (PERF.md #6). fps doesn't depend on weight values.
+            p_np = zoo.random_host_params(model)
             masked, _ = slim_ops.prune_channels(
                 p_np, slim_ops.channel_groups(model), 0.5, min_keep=8,
                 round_to=8, verbose=False)

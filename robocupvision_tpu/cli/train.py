@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "genuinely fewer MACs everywhere downstream (packed "
                    "serving, net.cfg export, the C++ engine); 0 = reference "
                    "unstructured pruning", type=float, default=0.0)
+    p.add_argument("--slimRound", help="--pruneStruct: round kept widths up "
+                   "to a multiple (lane-friendly packed serving; same "
+                   "default as tools/structured_prune)", type=int, default=8)
+    p.add_argument("--slimMinKeep", help="--pruneStruct: minimum kept "
+                   "channels per group", type=int, default=8)
     return p
 
 
@@ -275,7 +280,8 @@ def main(argv=None) -> int:
 
                     slim_groups = slim_ops.channel_groups(model)
                     params, masks = slim_ops.prune_channels(
-                        params, slim_groups, opt.pruneStruct)
+                        params, slim_groups, opt.pruneStruct,
+                        min_keep=opt.slimMinKeep, round_to=opt.slimRound)
                 else:
                     params, masks = prune_ops.prune_threshold(
                         params, model.param_order)
@@ -305,7 +311,12 @@ def main(argv=None) -> int:
                         if ms["better"][i]:
                             print("Saving best model")
 
-                prune_resume = f"{path}.resume-prune-{decay:g}.npz" \
+                # mode-tagged snapshot name: a stale snapshot from the OTHER
+                # prune mode must never resume into this one (its params
+                # don't satisfy this mode's masks — compact() would then
+                # silently find nothing to remove)
+                mode = "pruneS" if opt.pruneStruct > 0 else "prune"
+                prune_resume = f"{path}.resume-{mode}-{decay:g}.npz" \
                     if opt.resume else None
                 # unstructured masks barely move the function (near-zero
                 # weights zeroed): lr/20 suffices (reference train.py:377).

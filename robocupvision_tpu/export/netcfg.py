@@ -234,6 +234,10 @@ def apply_param_widths(secs: List[Section], reg, params,
     ki = 0
     for name, kv in secs:
         if name in ("convolutional", "transposedconv"):
+            if ki >= len(kernels):
+                raise ValueError(
+                    f"cfg has more weighted layers than the registry's "
+                    f"{len(kernels)} (check skip_prefixes / emitter)")
             w = np.asarray(params[kernels[ki]])
             ki += 1
             kv = dict(kv, filters=int(w.shape[-1]))

@@ -268,6 +268,12 @@ def robo_unet_get_computations(cfg: RoboUNetCfg, params: Optional[Params] = None
     def level_cost(name, cin, cout, levels, do_pool, pool, w, h):
         if pool:
             if do_pool:
+                if params is not None and \
+                        name + ".layers.Conv0.conv.weight" in params:
+                    # pool preserves channels: actual cin is the consuming
+                    # Conv0's in width (slim dicts)
+                    cin = int(params[name + ".layers.Conv0.conv.weight"]
+                              .shape[2])
                 comp.append(w * h * cin)
                 w, h = w // 2, h // 2
                 levels -= 1
@@ -304,6 +310,12 @@ def robo_unet_get_computations(cfg: RoboUNetCfg, params: Optional[Params] = None
             n_ch, o_ch = int(kshape[2]), int(kshape[3])
         comp.append(3 * 3 * w * h * n_ch * o_ch * 2 * ratio(name) + w * h * o_ch * 4)
         w, h = w * 2, h * 2
+    # segmenter estimate kept verbatim from the reference (nClass*planes*2,
+    # even for v2 where the head's true cin is 2*planes); for slim dicts the
+    # equivalent planes value is the actual head in-width / (2 if v2 else 1)
+    if params is not None and "segmenter.layers.Class.weight" in params:
+        head_cin = int(params["segmenter.layers.Class.weight"].shape[2])
+        pl = head_cin // (2 if cfg.v2 else 1)
     comp.append(H * W * cfg.num_classes * pl * 2)
     return comp
 
@@ -621,3 +633,24 @@ class Model:
 def make(family: str, **kwargs) -> Model:
     cfg_cls = _FAMILIES[family][0]
     return Model(family, cfg_cls(**kwargs))
+
+
+def random_host_params(model: Model, seed: int = 0):
+    """Host-side (numpy) params of the registry's shapes — no device work.
+
+    For measurement tooling that must not perform a device->host bulk fetch
+    before a timed window (PERF.md #6: it degrades every subsequent dispatch
+    in the process to ~RTT). Graph timing is value-independent, so N(0,0.1)
+    weights with identity BN are as good as real init — NOT for training."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = {}
+    for name, spec in model.registry.specs.items():
+        if spec.kind in ("bn_w", "bn_rv"):
+            out[name] = np.ones(spec.shape, np.float32)
+        elif spec.kind in ("bn_b", "bn_rm"):
+            out[name] = np.zeros(spec.shape, np.float32)
+        else:
+            out[name] = rng.standard_normal(spec.shape).astype(np.float32) * 0.1
+    return out

@@ -78,8 +78,8 @@ def _block(name: str, start: int = 0) -> OutSlice:
 # ---------------------------------------------------------------------------
 
 
-def _robo_unet_groups(cfg, extra_belly_consumer: Optional[str] = None
-                      ) -> List[Group]:
+def _robo_unet_groups(cfg, extra_belly_consumer: Optional[str] = None,
+                      level0_convs: Optional[int] = None) -> List[Group]:
     """Channel groups for zoo.robo_unet (reference model.py:461-536).
 
     Covers the full deployed family: flagship (additive skips), --v2 (concat
@@ -97,7 +97,8 @@ def _robo_unet_groups(cfg, extra_belly_consumer: Optional[str] = None
             levels -= 1
         return max(levels, 1)
 
-    lvl_n = [n_convs(cfg.levels - 1, False)] + \
+    lvl_n = [level0_convs if level0_convs is not None
+             else n_convs(cfg.levels - 1, False)] + \
         [n_convs(cfg.levels, True) for _ in range(D - 1)]
     lvl_w = [pl * 2 ** i for i in range(D)]
 
@@ -178,8 +179,11 @@ def _pb_fcn_2_groups(cfg) -> List[Group]:
                        depth=cfg.depth, levels=cfg.levels,
                        belly_size=cfg.belly_size,
                        belly_planes=cfg.belly_planes)
+    # pb_fcn_2_registry hardcodes Level0 to ONE conv for any cfg.levels
+    # (zoo.py: level_down_def(..., 1, False, False)) — override it
     return _robo_unet_groups(
-        rcfg, extra_belly_consumer="classifier.layers.Class.weight")
+        rcfg, extra_belly_consumer="classifier.layers.Class.weight",
+        level0_convs=1)
 
 
 def _cps_out(name: str, start: int = 0) -> OutSlice:
@@ -230,7 +234,6 @@ def _pb_fcn_groups(cfg) -> List[Group]:
     segmenter over the last up) are width consumers, so classify and
     segment graphs stay loadable from one slim dict."""
     p = cfg.planes
-    mult = 2 if cfg.no_scale else 1
     F = "FCN."
 
     def cp_groups(name: str, cout: int, nxt: List[InSlice]) -> List[Group]:
@@ -329,8 +332,6 @@ def _fcn_groups(cfg) -> List[Group]:
 def channel_groups(model) -> List[Group]:
     """Channel-coupling groups for a zoo.Model. Every hidden channel of the
     network belongs to exactly one group; class-head outputs are untouchable."""
-    from robocupvision_tpu.models import zoo
-
     cfg = model.cfg
     if model.family == "robo_unet":
         return _robo_unet_groups(cfg)

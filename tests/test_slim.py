@@ -451,3 +451,18 @@ def test_int8_agreement_on_trained_net(tmp_path):
     agree = float(jnp.mean(q.infer(x) == f.infer(x)))
     print(f"trained-net int8 label agreement: {agree:.4f}")
     assert agree >= 0.95, agree
+
+
+def test_pb_fcn_2_nondefault_levels_groups():
+    """pb_fcn_2 hardcodes Level0 to ONE conv for any cfg.levels (zoo.py);
+    the group builder must honor that (regression: levels=3 crashed)."""
+    m, params = _model_params("pb_fcn_2", dict(planes=8, depth=4, levels=3,
+                                               belly_size=3, belly_planes=16))
+    slim.validate_groups(m, params)
+    masked, _ = slim.prune_channels(params, slim.channel_groups(m), ratio=0.3)
+    slim_p, _ = slim.compact(m, masked)
+    x = _x((1, 32, 32, 3))
+    a, _ = m.apply(_jx(masked), x, train=False)
+    b, _ = m.apply(_jx(slim_p), x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)

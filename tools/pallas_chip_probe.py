@@ -244,13 +244,13 @@ def run(families, iters, trace=False):
         # same graph family, roughly half the MACs — read against the
         # flagship_vga_b1 row from the same run for the dense-vs-slim fps
         # delta (agreement here is slim-pallas vs slim-XLA, both slim)
-        import numpy as np
-
         from robocupvision_tpu.ops import slim as slim_ops
 
         m = zoo.make("robo_unet", no_scale=True)
-        p0 = {k: np.asarray(v)
-              for k, v in m.init(jax.random.PRNGKey(0)).items()}
+        # host-side params: NEVER np.asarray(device init) here — a bulk D2H
+        # before a timed window is the PERF.md #6 contamination class (the
+        # flagship rows time first in this process); fps is value-free
+        p0 = zoo.random_host_params(m)
         masked, _ = slim_ops.prune_channels(
             p0, slim_ops.channel_groups(m), 0.5, min_keep=8, round_to=8,
             verbose=False)
