@@ -138,6 +138,7 @@ struct Layer {
   bool has_bias = false;
   bool gemm = false;  // dense conv fast path (im2col + register-blocked GEMM)
   std::vector<float> w, b;            // conv: OIHW; tconv: IOHW; fc: OI
+  std::vector<float> wt;              // tconv gemm path: (o, ci*kh*kw)
   std::vector<float> bn_g, bn_b, bn_m, bn_v;
   int from = -1;                      // shortcut / concat source layer
   int pool_k = 2, pool_s = 2, ps_factor = 2, fc_out = 0;
@@ -209,6 +210,25 @@ class Engine {
           p = wr.take(L.filters);
           if (!p) return false;
           L.b.assign(p, p + L.filters);
+        }
+        // dense tconvs take the gather+GEMM path (same criteria as conv);
+        // precompute the (o, ci*kh*kw) weight view the GEMM reads
+        {
+          size_t zeros = 0;
+          for (float v : L.w) zeros += (v == 0.f);
+          double zero_frac = L.w.empty() ? 0.0
+                             : static_cast<double>(zeros) / L.w.size();
+          L.gemm = zero_frac < 0.4 && c * L.kh * L.kw >= 72;
+          if (L.gemm) {
+            int kd = c * L.kh * L.kw;
+            L.wt.assign(static_cast<size_t>(L.filters) * kd, 0.f);
+            for (int ci = 0; ci < c; ++ci)
+              for (int o = 0; o < L.filters; ++o)
+                for (int t = 0; t < L.kh * L.kw; ++t)
+                  L.wt[static_cast<size_t>(o) * kd + ci * L.kh * L.kw + t] =
+                      L.w[(static_cast<size_t>(ci) * L.filters + o) *
+                              L.kh * L.kw + t];
+          }
         }
         c = L.filters;
         h = (h - 1) * L.sh - 2 * L.ph + L.kh + L.outpad;
@@ -407,6 +427,44 @@ class Engine {
     }
   }
 
+  // y[o, :] = bias[o] + sum_k wmat[o, k] * col_[k, :], 4 output channels at
+  // a time (shared by conv_gemm and tconv_gemm; conv's OIHW weights are
+  // already (o, ci*kh*kw) row-major, tconv uses the precomputed wt view)
+  void gemm4(const float* wmat, const Layer& L, int Kd, int N, Tensor* y) {
+    for (int o0 = 0; o0 < L.filters; o0 += 4) {
+      int ob = (o0 + 4 <= L.filters) ? 4 : L.filters - o0;
+      float* d[4];
+      for (int b = 0; b < ob; ++b) {
+        d[b] = y->at(o0 + b);
+        float bias = L.has_bias ? L.b[o0 + b] : 0.f;
+        for (int i = 0; i < N; ++i) d[b][i] = bias;
+      }
+      for (int k = 0; k < Kd; ++k) {
+        const float* col = col_.data() + static_cast<size_t>(k) * N;
+        float wv[4];
+        for (int b = 0; b < ob; ++b)
+          wv[b] = wmat[static_cast<size_t>(o0 + b) * Kd + k];
+        if (ob == 4) {
+          float *d0 = d[0], *d1 = d[1], *d2 = d[2], *d3 = d[3];
+          float w0 = wv[0], w1 = wv[1], w2 = wv[2], w3 = wv[3];
+          for (int i = 0; i < N; ++i) {
+            float cv = col[i];
+            d0[i] += w0 * cv;
+            d1[i] += w1 * cv;
+            d2[i] += w2 * cv;
+            d3[i] += w3 * cv;
+          }
+        } else {
+          for (int b = 0; b < ob; ++b) {
+            float* db = d[b];
+            float wb = wv[b];
+            for (int i = 0; i < N; ++i) db[i] += wb * col[i];
+          }
+        }
+      }
+    }
+  }
+
   // im2col + register-blocked GEMM. Tap accumulation order (ci, ky, kx)
   // matches the direct loop's exactly, so both paths produce identical
   // floats (golden tests cover either). The col scratch persists across
@@ -445,45 +503,17 @@ class Engine {
         }
       }
     }
-    // y[o, :] = b[o] + sum_k w[o, k] * col[k, :], 4 output channels a time
-    for (int o0 = 0; o0 < L.filters; o0 += 4) {
-      int ob = (o0 + 4 <= L.filters) ? 4 : L.filters - o0;
-      float* d[4];
-      for (int b = 0; b < ob; ++b) {
-        d[b] = y->at(o0 + b);
-        float bias = L.has_bias ? L.b[o0 + b] : 0.f;
-        for (int i = 0; i < N; ++i) d[b][i] = bias;
-      }
-      for (int k = 0; k < Kd; ++k) {
-        const float* col = col_.data() + static_cast<size_t>(k) * N;
-        float wv[4];
-        for (int b = 0; b < ob; ++b)
-          wv[b] = L.w[static_cast<size_t>(o0 + b) * Kd + k];
-        if (ob == 4) {
-          float *d0 = d[0], *d1 = d[1], *d2 = d[2], *d3 = d[3];
-          float w0 = wv[0], w1 = wv[1], w2 = wv[2], w3 = wv[3];
-          for (int i = 0; i < N; ++i) {
-            float cv = col[i];
-            d0[i] += w0 * cv;
-            d1[i] += w1 * cv;
-            d2[i] += w2 * cv;
-            d3[i] += w3 * cv;
-          }
-        } else {
-          for (int b = 0; b < ob; ++b) {
-            float* db = d[b];
-            float wb = wv[b];
-            for (int i = 0; i < N; ++i) db[i] += wb * col[i];
-          }
-        }
-      }
-    }
+    gemm4(L.w.data(), L, Kd, N, y);
   }
 
-  static void tconv(const Tensor& x, const Layer& L, Tensor* y) {
+  void tconv(const Tensor& x, const Layer& L, Tensor* y) {
     int oh = (x.h - 1) * L.sh - 2 * L.ph + L.kh + L.outpad;
     int ow = (x.w - 1) * L.sw - 2 * L.pw + L.kw + L.outpad;
     y->resize(L.filters, oh, ow);
+    if (L.gemm) {
+      tconv_gemm(x, L, oh, ow, y);
+      return;
+    }
     for (int o = 0; o < L.filters; ++o) {
       float* dst = y->at(o);
       float bias = L.has_bias ? L.b[o] : 0.f;
@@ -514,6 +544,43 @@ class Engine {
         }
       }
     }
+  }
+
+  // transpose conv in GATHER form: col[(ci,ky,kx), (oy,ox)] = x[ci, iy, ix]
+  // where iy = (oy + ph - ky) / sh, ix = (ox + pw - kx) / sw when divisible
+  // and in range, else 0 — then the same register-blocked GEMM as conv_gemm
+  // over the precomputed (o, ci*kh*kw) weight view. Per-output-element tap
+  // order is (ci, ky, kx) vs the scatter path's input-pixel order — a float
+  // reassociation within the golden tests' FMA tolerance.
+  void tconv_gemm(const Tensor& x, const Layer& L, int oh, int ow, Tensor* y) {
+    const int N = oh * ow;
+    const int Kd = x.c * L.kh * L.kw;
+    col_.assign(static_cast<size_t>(Kd) * N, 0.f);
+    for (int ci = 0; ci < x.c; ++ci) {
+      const float* src = x.at(ci);
+      for (int ky = 0; ky < L.kh; ++ky) {
+        for (int kx = 0; kx < L.kw; ++kx) {
+          float* dst =
+              col_.data() +
+              (static_cast<size_t>(ci) * L.kh * L.kw + ky * L.kw + kx) * N;
+          for (int oy = 0; oy < oh; ++oy) {
+            int iy_num = oy + L.ph - ky;
+            if (iy_num < 0 || iy_num % L.sh) continue;
+            int iy = iy_num / L.sh;
+            if (iy >= x.h) continue;
+            const float* srow = src + iy * x.w;
+            float* drow = dst + oy * ow;
+            // valid ox form an arithmetic sequence with step sw
+            int ox0 = kx - L.pw;              // where ix == 0
+            int ox = ox0 < 0 ? ox0 + L.sw * ((-ox0 + L.sw - 1) / L.sw) : ox0;
+            int ix = (ox + L.pw - kx) / L.sw;
+            for (; ox < ow && ix < x.w; ox += L.sw, ++ix)
+              drow[ox] = srow[ix];
+          }
+        }
+      }
+    }
+    gemm4(L.wt.data(), L, Kd, N, y);
   }
 
   static void pool(const Tensor& x, const Layer& L, bool is_max, Tensor* y) {
