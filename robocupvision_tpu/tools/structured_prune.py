@@ -37,22 +37,42 @@ def main(argv=None) -> int:
     p.add_argument("--minKeep", type=int, default=8,
                    help="minimum kept channels per group")
     p.add_argument("--deploy", default="", help="optional deployment dir")
-    # architecture flags (train.py defaults)
+    p.add_argument("--family", default="robo_unet",
+                   choices=["robo_unet", "pb_fcn", "label_prop"],
+                   help="checkpoint's model family (whole-network mode "
+                        "supports every deployable family; belly mode is "
+                        "robo_unet only)")
+    # architecture flags (train.py / trainer.py / labelPropTrain defaults)
     p.add_argument("--noScale", action="store_true", default=False)
     p.add_argument("--v2", action="store_true", default=False)
     p.add_argument("--UNet", action="store_true", default=False)
     p.add_argument("--numClasses", type=int, default=5)
+    p.add_argument("--planes", type=int, default=0,
+                   help="override planes (pb_fcn/label_prop default 32)")
     opt = p.parse_args(argv)
 
     from robocupvision_tpu.cli.train import model_hyper
     from robocupvision_tpu.models import zoo
     from robocupvision_tpu.train import checkpoint
 
-    hyper = model_hyper(opt.UNet, opt.v2)
-    model = zoo.make("robo_unet", no_scale=opt.noScale, pool=opt.UNet,
-                     num_classes=opt.numClasses, v2=opt.v2, **hyper)
+    if opt.family == "robo_unet":
+        hyper = model_hyper(opt.UNet, opt.v2)
+        if opt.planes:
+            hyper["planes"] = opt.planes
+        model = zoo.make("robo_unet", no_scale=opt.noScale, pool=opt.UNet,
+                         num_classes=opt.numClasses, v2=opt.v2, **hyper)
+        before = sum(zoo.robo_unet_get_computations(model.cfg))
+    elif opt.family == "pb_fcn":
+        model = zoo.make("pb_fcn", planes=opt.planes or 32,
+                         num_classes=opt.numClasses, no_scale=opt.noScale)
+        before = 0
+    else:
+        model = zoo.make("label_prop", planes=opt.planes or 32,
+                         num_classes=opt.numClasses)
+        before = 0
+    if opt.keep is not None and opt.family != "robo_unet":
+        p.error("--keep (belly mode) is robo_unet only; use --ratio")
     params = checkpoint.load_any(opt.checkpoint, model.registry)
-    before = sum(zoo.robo_unet_get_computations(model.cfg))
 
     if opt.keep is not None:
         from robocupvision_tpu.ops.structured import shrink_belly
@@ -73,14 +93,16 @@ def main(argv=None) -> int:
                                         round_to=opt.roundTo)
         new_params, kept = slim.compact(model, masked)
         new_model = model
-        # widths read from the compacted shapes -> the slim net's TRUE cost
-        # (the masked dict's nnz ratio misses the consumers' dead in-slices)
-        after = sum(zoo.robo_unet_get_computations(model.cfg, new_params,
-                                                   pruned=True))
         n0, n1 = slim.param_count(params), slim.param_count(new_params)
-        print(f"slim: {n0} -> {n1} params ({100 * (1 - n1 / n0):.1f}% fewer); "
-              f"{before / 1e6:.0f} -> {after / 1e6:.0f} MFLOPs "
-              f"({100 * (1 - after / before):.1f}% fewer)")
+        msg = f"slim: {n0} -> {n1} params ({100 * (1 - n1 / n0):.1f}% fewer)"
+        if before:  # analytic op model exists for robo_unet only
+            # widths read from the compacted shapes -> the slim net's TRUE
+            # cost (the masked nnz ratio misses consumers' dead in-slices)
+            after = sum(zoo.robo_unet_get_computations(model.cfg, new_params,
+                                                       pruned=True))
+            msg += (f"; {before / 1e6:.0f} -> {after / 1e6:.0f} MFLOPs "
+                    f"({100 * (1 - after / before):.1f}% fewer)")
+        print(msg)
         checkpoint.save(opt.out, model.registry, new_params, slim=True)
     print(f"saved {opt.out}")
     if opt.deploy:

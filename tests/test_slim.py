@@ -466,3 +466,34 @@ def test_pb_fcn_2_nondefault_levels_groups():
     b, _ = m.apply(_jx(slim_p), x, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("family,planes,xshape", [
+    ("pb_fcn", 16, (1, 32, 32, 3)),
+    ("label_prop", 16, (1, 32, 32, 8)),
+])
+def test_structured_prune_tool_other_families(family, planes, xshape,
+                                              tmp_path, monkeypatch, capsys):
+    """tools/structured_prune --family pb_fcn/label_prop: whole-network slim
+    + deployment artifacts that self-verify (cfg widths from slim shapes,
+    engine shortcut min(C) semantics match the slice-add)."""
+    from robocupvision_tpu.export import deploy
+    from robocupvision_tpu.tools import structured_prune
+    from robocupvision_tpu.train import checkpoint
+
+    monkeypatch.chdir(tmp_path)
+    m = zoo.make(family, planes=planes)
+    params = _np(m.init(jax.random.PRNGKey(0)))
+    checkpoint.save("in.weights", m.registry, params)
+
+    rc = structured_prune.main([
+        "--checkpoint", "in.weights", "--ratio", "0.4", "--family", family,
+        "--planes", str(planes), "--roundTo", "2", "--minKeep", "2",
+        "--out", "out.slim", "--deploy", "dep"])
+    assert rc == 0
+    assert "slim:" in capsys.readouterr().out
+
+    slim_p = checkpoint.load_any("out.slim", m.registry)
+    assert slim.param_count(slim_p) < slim.param_count(params)
+    x = np.random.default_rng(0).standard_normal(xshape).astype(np.float32)
+    deploy.verify_deployment("dep", m, slim_p, x)
