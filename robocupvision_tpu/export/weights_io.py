@@ -45,10 +45,23 @@ def save_params(path: str, reg: Registry, params: Dict[str, np.ndarray],
 
 def load_params_flat(path: str, reg: Registry,
                      skip_classifier: bool = False) -> Dict[str, np.ndarray]:
-    """Inverse of save_params: slice the flat stream back into our layouts."""
+    """Inverse of save_params: slice the flat stream back into our layouts.
+
+    Auto-detects the element width: the reference's own saveParams seeds its
+    concatenation with ``np.empty(0)`` (float64), so every dump the reference
+    itself produced — including the shipped weightsLP/weights.dat (742,696
+    bytes = 92,837 float64 values, exactly LabelProp(planes=32)'s parameter
+    count with no BN step counters) — is little-endian float64, while this
+    framework and the robot engine use float32 (paramSave.py:9-18)."""
     from robocupvision_tpu.export.torch_io import from_torch_state_dict
 
-    flat = np.fromfile(path, dtype="<f4")
+    expected = sum(
+        int(np.prod(spec.shape)) for name, spec in reg.specs.items()
+        if not (skip_classifier and "classifier" in name))
+    if os.path.getsize(path) == expected * 8:
+        flat = np.fromfile(path, dtype="<f8").astype(np.float32)
+    else:
+        flat = np.fromfile(path, dtype="<f4")
     sd: Dict[str, np.ndarray] = {}
     offset = 0
     for name, spec in reg.specs.items():

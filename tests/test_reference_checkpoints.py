@@ -52,6 +52,86 @@ def test_pruned_lp_checkpoint_is_actually_sparse():
     assert frac > 0.5, frac
 
 
+def test_shipped_weightslp_weights_dat_runs_end_to_end(tmp_path):
+    """The reference's ONE shipped trained deployment artifact —
+    weightsLP/weights.dat + weightsLP/net.cfg (written by
+    makeLPImages.py:73 via paramSave.saveParams) — loads through
+    export/weights_io, runs through (a) zoo.label_prop apply, (b) the packed
+    inference graph and (c) the C++ engine driven by the reference's net.cfg
+    VERBATIM, with mutual label-map agreement on realistic LP inputs.
+
+    Shipped-format findings (the ground truth this pins):
+    - the file is little-endian FLOAT64, not float32: paramSave.py:9 seeds
+      its concatenation with np.empty(0) (float64) and np.concatenate
+      promotes every float32 tensor — 742,696 bytes = 92,837 f8 values;
+    - 92,837 is exactly LabelProp(5, 32, d).state_dict()'s element count
+      with NO num_batches_tracked counters (saved by a pre-0.4.1 torch);
+      the BN stream order is weight, bias, running_mean, running_var;
+    - tconv layers carry biases (48 of the 92,837), conv layers do not,
+      matching weightsLP/net.cfg's hasBias fields.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robocupvision_tpu.export import weights_io
+    from robocupvision_tpu.export.engine import NativeEngine
+    from robocupvision_tpu.models import packed
+
+    wdat = "/root/reference/weightsLP/weights.dat"
+    cfg = "/root/reference/weightsLP/net.cfg"
+
+    m = zoo.make("label_prop", planes=32)
+    params = weights_io.load_params_flat(wdat, m.registry)
+    for k, v in params.items():
+        assert np.isfinite(v).all(), k
+        if k.endswith("bn.running_var") or k.endswith(".var"):
+            assert (np.asarray(v) >= 0).all(), k
+
+    # Realistic 8-channel inputs (Y_t, Y_other, Ydiff, labelToPred one-hot)
+    # from a synthetic moving scene at the deployment resolution.
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_data import make_lp_tree
+
+    from robocupvision_tpu.cli.labelPropTrain import build_lp_pairs
+    from robocupvision_tpu.data.datasets import LPDataSet
+
+    root = str(tmp_path / "data")
+    make_lp_tree(root, size=(120, 160), n_seq=1, seq_len=2)
+    ds = LPDataSet(root, train=False, img_size=(120, 160), finetune=False,
+                   len_seq=2)
+    imgs, labs, _ = ds[0]
+    x, _ = build_lp_pairs(imgs[None], labs[None], 5)  # (2,120,160,8)
+    x = x[:1]
+
+    # (a) the zoo apply on the shipped trained weights
+    p = {k: jnp.asarray(v) for k, v in params.items()}
+    logits, _ = m.apply(p, jnp.asarray(x))
+    ref_labels = np.asarray(jnp.argmax(logits, axis=-1))
+    assert len(np.unique(ref_labels)) >= 2  # trained net produces real maps
+
+    # (b) the packed inference graph
+    pi = packed.build_packed_label_prop(m, p, dtype=jnp.float32)
+    packed_labels = np.asarray(pi.infer(jnp.asarray(x)))
+    agree_packed = float((packed_labels == ref_labels).mean())
+    assert agree_packed >= 0.999, agree_packed
+
+    # (c) the C++ engine on the REFERENCE's own net.cfg (verbatim path).
+    # The engine reads float32 streams (the robot contract); the shipped
+    # f8 file is converted element-for-element, nothing reordered.
+    w32 = str(tmp_path / "weights.dat")
+    np.fromfile(wdat, dtype="<f8").astype("<f4").tofile(w32)
+    eng = NativeEngine(cfg, w32)
+    try:
+        assert eng.weights_fully_consumed
+        out = eng.forward(np.transpose(x[0], (2, 0, 1)))  # (C,H,W) softmax
+        eng_labels = np.argmax(out, axis=0)
+    finally:
+        eng.close()
+    agree_engine = float((eng_labels == ref_labels[0]).mean())
+    assert agree_engine >= 0.999, agree_engine
+
+
 def test_stale_era_checkpoints_fail_identically_to_reference():
     """bestModelSeg.pth predates the in-repo PB_FCN; both implementations
     must reject it (this is reference staleness, not an interop gap)."""
