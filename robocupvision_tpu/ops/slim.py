@@ -530,3 +530,75 @@ def validate_groups(model, params: Params) -> None:
     # channels inside a touched tensor — a naming bug would leave gaps)
     for name, cov in covered.items():
         assert cov.all(), f"{name}: channels {np.nonzero(~cov)[0]} uncovered"
+
+
+# =============================================================================
+# Belly-only precursor (r4 measured record)
+# =============================================================================
+# The first structured-pruning cut removed channels from ROBO-UNet's
+# bottleneck only (reference model.py:480-483 — a plain conv chain with no
+# skip couplings, so each layer keeps an independent channel set). Superseded
+# by the whole-network group pruning above (prune_structured/compact), but
+# kept as the measured record behind tools/structured_prune.py --keep:
+# 128 -> 64 belly channels on a trained checkpoint = mIoU 83.2 -> 82.3 with
+# no finetuning, 1.79x faster on the C++ robot engine (PERF.md 1d).
+
+
+def _belly_layer_names(cfg):
+    """PB_1 conv chain names (Conv0 enters the belly; Conv1.. are internal)
+    and the PB_2 conv that exits it (reference model.py:480-487)."""
+    n_pb1 = max(cfg.belly_size - 1, 1)
+    pb1 = [f"PB.PB_1.layers.Conv{i}" for i in range(n_pb1)]
+    return pb1, "PB.PB_2.layers.Conv0"
+
+
+def belly_channel_scores(params: Params, cfg) -> np.ndarray:
+    """Per-layer L1 importances, one row per PB_1 conv: row i ranks conv i's
+    OUTPUT channels by that conv's own filter norms (Li et al.). Shape
+    (n_pb1, belly_planes)."""
+    pb1, _ = _belly_layer_names(cfg)
+    return np.stack([
+        np.abs(np.asarray(params[n + ".conv.weight"])).sum(axis=(0, 1, 2))
+        for n in pb1])
+
+
+def shrink_belly(params: Params, cfg, keep: int):
+    """Physically remove the lowest-importance belly channels, each layer
+    keeping its own channel set.
+
+    Returns (new params, new cfg with belly_planes=keep, kept index rows —
+    shape (n_pb1, keep), row i ascending, the channels conv i keeps). The
+    result is a standard ROBO_UNet — it exports, deploys and evaluates like
+    any other.
+    """
+    if cfg.belly_size <= 0:
+        raise ValueError("model has no belly (belly_size == 0)")
+    if not (0 < keep <= cfg.belly_planes):
+        raise ValueError(f"keep={keep} out of range (1..{cfg.belly_planes})")
+    scores = belly_channel_scores(params, cfg)
+    kept = np.stack([np.sort(np.argsort(row)[::-1][:keep]) for row in scores])
+
+    pb1, pb2 = _belly_layer_names(cfg)
+    new = dict(params)
+
+    def slice_out(name, idx):  # conv out channels + bias + bn vectors
+        new[name + ".conv.weight"] = \
+            np.asarray(params[name + ".conv.weight"])[..., idx]
+        for suffix in (".conv.bias", ".bn.weight", ".bn.bias",
+                       ".bn.running_mean", ".bn.running_var"):
+            key = name + suffix
+            if key in params:
+                new[key] = np.asarray(params[key])[idx]
+
+    def slice_in(name, idx):
+        new[name + ".conv.weight"] = \
+            np.asarray(new[name + ".conv.weight"])[:, :, idx, :]
+
+    for i, name in enumerate(pb1):
+        slice_out(name, kept[i])
+        if i > 0:
+            slice_in(name, kept[i - 1])
+    slice_in(pb2, kept[-1])
+
+    new_cfg = dataclasses.replace(cfg, belly_planes=int(keep))
+    return new, new_cfg, kept

@@ -1,8 +1,8 @@
-"""Structured-pruning CLI (framework extension — ops/structured.py, ops/slim.py).
+"""Structured-pruning CLI (framework extension — ops/slim.py).
 
 Two modes over a train.py-family ROBO-UNet checkpoint:
 
-- ``--keep N``: belly-only pruning (ops/structured.py) — removes bottleneck
+- ``--keep N``: belly-only pruning (ops/slim.py shrink_belly, the r4 precursor) — removes bottleneck
   channels; the result is a *standard* ROBO_UNet with belly_planes=N.
 - ``--ratio R``: whole-network structured pruning (ops/slim.py) — scores
   every channel group (skip-coupled sets prune jointly), zeroes the lowest
@@ -75,7 +75,7 @@ def main(argv=None) -> int:
     params = checkpoint.load_any(opt.checkpoint, model.registry)
 
     if opt.keep is not None:
-        from robocupvision_tpu.ops.structured import shrink_belly
+        from robocupvision_tpu.ops.slim import shrink_belly
 
         new_params, new_cfg, kept = shrink_belly(params, model.cfg, opt.keep)
         new_model = zoo.Model("robo_unet", new_cfg)

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from robocupvision_tpu.models import zoo
-from robocupvision_tpu.ops.structured import belly_channel_scores, shrink_belly
+from robocupvision_tpu.ops.slim import belly_channel_scores, shrink_belly
 
 
 def _model_and_params(**kw):
