@@ -118,7 +118,7 @@ def bench_vga_inference():
     params = model.init(jax.random.PRNGKey(0))
     x1 = jax.random.normal(jax.random.PRNGKey(1), (1, 480, 640, 3), jnp.float32)
     x4 = jax.random.normal(jax.random.PRNGKey(1), (4, 480, 640, 3), jnp.float32)
-    out = {}
+    out = {"backend": jax.default_backend()}
 
     # 1. lane-packed bf16 batch-1 (exact rewrite; PERF.md) — THE headline.
     # iters sized so each timed window is ~0.4-0.6 s: the window's one sync
@@ -853,6 +853,105 @@ def _assemble(extra_raw: dict, failed: list) -> dict:
     return out
 
 
+# Primary result key per stage: presence in `extra` means the stage's
+# headline sub-measurement exists (used for resume-skip and scheduling).
+_STAGE_KEY = {
+    "vga": "fps_packed_bf16_b1",
+    "train": "bfloat16",  # renamed to train_steps_per_sec_b64_qvga_bf16 late
+    "scan": "scan_epoch_train_imgs_per_sec_bf16",
+    "streamed": "streamed_train_imgs_per_sec_bf16",
+    "torch": "torch_cpu_reference_steps_per_sec",
+}
+
+_PARTIAL = os.path.join(_CACHE_DIR, "bench_partial.json")
+
+
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def _save_partial(extra: dict, complete: bool) -> None:
+    """Persist the raw (pre-rename) stage results after every stage so a
+    later kill — the driver's own deadline included — doesn't erase them:
+    the next invocation at the SAME commit resumes the incomplete stages
+    instead of re-measuring the finished ones (VERDICT r4 weak #1)."""
+    try:
+        with open(_PARTIAL, "w") as f:
+            json.dump({"commit": _git_head(), "ts": time.time(),
+                       "complete": complete, "extra": extra}, f)
+    except Exception:
+        pass
+
+
+def _load_partial(max_age_secs: float = 3 * 3600.0) -> dict:
+    """Resumable partial results: same commit, recent, and from a run that
+    did NOT finish cleanly (a clean run marks complete=True so the next
+    invocation measures fresh instead of replaying it)."""
+    try:
+        with open(_PARTIAL) as f:
+            d = json.load(f)
+    except Exception:
+        return {}
+    if d.get("complete") or d.get("commit") != _git_head() \
+            or time.time() - d.get("ts", 0) > max_age_secs:
+        return {}
+    return d.get("extra") or {}
+
+
+def _prev_artifact_has_train() -> bool:
+    """Does the newest committed BENCH_r*.json carry a driver-captured train
+    number? When it doesn't, the train stage is the scarce metric and runs
+    BEFORE vga (whose headline is thrice-confirmed) — VERDICT r4 #2."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if not files:
+        return False
+    try:
+        with open(files[-1]) as f:
+            d = json.load(f)
+    except Exception:
+        return False
+    return "train_steps_per_sec_b64_qvga_bf16" in (d.get("extra") or {})
+
+
+def _stage_plan(train_first: bool) -> list:
+    """(stage, cap, reserve, run_with_retry kwargs) in execution order.
+
+    train-first: torch (CPU-only, immune to tunnel outages) pins the
+    comparison denominator, then train gets the generous boot schedule vga
+    had, then vga — its minimum useful slice (the headline sub-measurement
+    alone) fits any leftover budget. Otherwise the r4 order stands."""
+    if train_first:
+        return [
+            ("torch", 90, 620, {"attempts": 2}),
+            ("train", 330, 170, {"attempts": 4,
+                                 "boot_schedule": (60, 90, 150, 210),
+                                 "final_longwait": True}),
+            ("vga", 420, 60, {"attempts": 3, "boot_schedule": (60, 90, 150)}),
+            ("scan", 150, 50, {}),
+            ("streamed", 180, 30, {}),
+        ]
+    return [
+        ("vga", 420, 120, {"attempts": 5,
+                           "boot_schedule": (60, 90, 120, 180, 240),
+                           "final_longwait": True}),
+        ("train", 300, 75, {}),
+        ("scan", 150, 50, {}),
+        ("streamed", 180, 30, {}),
+        ("torch", 90, 10, {}),
+    ]
+
+
 def _load_last_good() -> dict:
     try:
         with open(_LAST_GOOD) as f:
@@ -895,7 +994,8 @@ def _store_last_good(payload: dict) -> None:
         # clean-run evidence by every later outage run, and a recovered
         # stall or a failed opt-in variant is not part of that evidence
         "extra": {k: v for k, v in payload["extra"].items()
-                  if k != "failed_stages" and "outage" not in k
+                  if k not in ("failed_stages", "resumed_stages")
+                  and "outage" not in k
                   and not k.startswith("infra_")
                   and not k.endswith("_error")},
     }
@@ -912,7 +1012,19 @@ def main():
     extra = {}
     failed = []
 
-    def emit():
+    # Resume an interrupted run at the same commit: completed stages' numbers
+    # are preloaded (and those stages skipped), incomplete ones re-run.
+    resumed = _load_partial()
+    if resumed:
+        extra.update(resumed)
+        done = sorted(s for s, k in _STAGE_KEY.items() if k in extra)
+        if done:
+            extra["resumed_stages"] = done
+            sys.stderr.write(f"bench: resumed partial results for {done}\n")
+
+    def emit(complete: bool = False):
+        _save_partial({k: v for k, v in extra.items()
+                       if k != "resumed_stages"}, complete)
         print(json.dumps(_assemble(extra, failed)), flush=True)
 
     # smallest budget a stage can realistically finish its FIRST
@@ -1070,27 +1182,25 @@ def main():
             emit()
             return
 
-    # headline first. Init-stall physics (CLAUDE.md): each fresh child
-    # re-rolls the stall dice, so for the one stage that MUST produce a
-    # number we buy cheap rolls first (60/90/120/180 s boot timeouts — a
-    # chip run once stalled 4/4 at 90-210 s), then the LAST attempt
-    # out-waits the stall phase with a long boot timeout instead of
-    # re-rolling (stalls can run multiple minutes and resolve).
-    extra.update(run_with_retry("vga", cap=420, reserve=120, attempts=5,
-                                boot_schedule=(60, 90, 120, 180, 240),
-                                final_longwait=True))
-    emit()
-    stage_caps = [("train", 300, 75), ("scan", 150, 50),
-                  ("streamed", 180, 30), ("torch", 90, 10)]
-    for stage, cap, reserve in stage_caps:
-        extra.update(run_with_retry(stage, cap, reserve))
+    # Scarce-metric-first scheduling (VERDICT r4 #2): when the newest
+    # committed BENCH_r*.json lacks a train number, torch + train run BEFORE
+    # vga so outage pressure starves the thrice-confirmed headline instead
+    # of the metric with no driver evidence. Init-stall physics (CLAUDE.md):
+    # each fresh child re-rolls the stall dice, so the must-produce stage
+    # buys cheap boot rolls first, then its LAST attempt out-waits the stall
+    # phase with a long boot timeout instead of re-rolling.
+    plan = _stage_plan(train_first=not _prev_artifact_has_train())
+    for stage, cap, reserve, kw in plan:
+        if extra.get(_STAGE_KEY[stage]) is not None:
+            continue  # resumed from a prior interrupted run at this commit
+        extra.update(run_with_retry(stage, cap, reserve, **kw))
         emit()
 
     # backfill: convert leftover deadline into recovered stages. A stage
     # that lost all its boot rolls to init stalls (the r3 runs saw 2-3 in a
     # row during tunnel stall phases) gets fresh rolls from whatever time
     # the other stages didn't use, in priority order.
-    for stage, cap, _reserve in stage_caps:
+    for stage, cap, _reserve, _kw in plan:
         if stage in failed and _left() > 120:
             sys.stderr.write(f"bench stage {stage}: backfill attempt "
                              f"({_left():.0f}s left)\n")
@@ -1098,10 +1208,16 @@ def main():
             emit()
 
     # a clean run (non-null headline) refreshes the committed last-good
-    # artifact so the NEXT outage run still carries real numbers
+    # artifact so the NEXT outage run still carries real numbers; a run
+    # holding BOTH scarce metrics marks the partial file complete so the
+    # next invocation measures fresh instead of replaying it
     payload = _assemble(extra, failed)
-    if payload["value"] is not None:
+    # only a REAL-CHIP headline may refresh the committed clean-run record
+    # (a CPU dry run of the full bench would otherwise overwrite it)
+    if payload["value"] is not None and extra.get("backend") == "tpu":
         _store_last_good(payload)
+    emit(complete=payload["value"] is not None
+         and extra.get(_STAGE_KEY["train"]) is not None)
 
 
 if __name__ == "__main__":

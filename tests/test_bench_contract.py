@@ -86,6 +86,44 @@ def test_store_last_good_roundtrip(bench, tmp_path, monkeypatch):
     assert lg["timestamp_utc"].endswith("Z") and lg["commit"]
 
 
+def test_stage_plan_orders_scarce_train_metric_first(bench):
+    """When the previous driver artifact lacks a train number, torch+train
+    run before vga (VERDICT r4 #2: outage pressure must starve the
+    thrice-confirmed headline, not the evidence-free metric)."""
+    order_tf = [s for s, *_ in bench._stage_plan(train_first=True)]
+    assert order_tf[:3] == ["torch", "train", "vga"]
+    order_std = [s for s, *_ in bench._stage_plan(train_first=False)]
+    assert order_std[0] == "vga" and set(order_std) == set(order_tf)
+    # every stage in both plans has a primary key for resume-skip
+    for s in order_std:
+        assert s in bench._STAGE_KEY
+
+
+def test_prev_artifact_has_train_reads_newest_bench_json(bench):
+    """BENCH_r04.json (the newest committed artifact) lacks the train key,
+    so the r5 driver run must schedule train first."""
+    assert bench._prev_artifact_has_train() is False
+
+
+def test_partial_results_roundtrip(bench, tmp_path, monkeypatch):
+    """Stage results persist across invocations at the same commit until a
+    run completes cleanly; a complete marker or a commit change invalidates
+    them (never replay stale numbers)."""
+    monkeypatch.setattr(bench, "_PARTIAL", str(tmp_path / "p.json"))
+    bench._save_partial({"fps_packed_bf16_b1": 1900.0}, complete=False)
+    assert bench._load_partial() == {"fps_packed_bf16_b1": 1900.0}
+    # stale by age
+    assert bench._load_partial(max_age_secs=0.0) == {}
+    # a clean run invalidates the partial
+    bench._save_partial({"fps_packed_bf16_b1": 1900.0, "bfloat16": 100.0},
+                        complete=True)
+    assert bench._load_partial() == {}
+    # a different commit invalidates the partial
+    bench._save_partial({"fps_packed_bf16_b1": 1.0}, complete=False)
+    monkeypatch.setattr(bench, "_git_head", lambda: "somethingelse")
+    assert bench._load_partial() == {}
+
+
 def test_outage_probe_times_out_fast_and_recovers(bench, monkeypatch):
     """A stalled backend init must cost `cap` seconds, not the stage budget;
     a healthy backend must pass. The child is pinned to the CPU backend so
