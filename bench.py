@@ -341,6 +341,26 @@ def bench_vga_inference():
             sorted(serve_packed_once() for _ in range(3))[1]
         _emit(out)
 
+    # 4-bit label wire (two labels per byte packed ON DEVICE, host nibble
+    # unpack in the timed loop): half the readback bytes of every u8 row —
+    # the serving loop's honest ceiling on a bandwidth-limited transport
+    # is the label wire, so this is the direct >30 fps lever (VERDICT r4
+    # #3). Compare against fps_serving_incl_u8_label_readback.
+    if _left() > 30:
+        device_fn4, host_unpack4 = pi.infer_u4_packed()
+        pfn4 = jax.jit(device_fn4)
+        host_unpack4(pfn4(x1))  # warm
+
+        def serve_u4_once():
+            t0 = time.perf_counter()
+            for _ in range(serve_iters):
+                host_unpack4(pfn4(x1))
+            return serve_iters / (time.perf_counter() - t0)
+
+        out["fps_serving_incl_u4_label_readback"] = \
+            sorted(serve_u4_once() for _ in range(3))[1]
+        _emit(out)
+
     # pipelined serving (utils/serving.py): depth-4 in-flight window overlaps
     # dispatch + compute + label readback across frames — the serial loop
     # above pays RTT + wire per frame in sequence (the honest remote-
@@ -357,6 +377,25 @@ def bench_vga_inference():
         serve_pipelined_once()  # warm the pipeline pattern
         out["fps_serving_pipelined_d4_u8_readback"] = \
             sorted(serve_pipelined_once() for _ in range(3))[1]
+        _emit(out)
+
+    # best-known serving combo: 4-bit wire + depth-4 pipelining
+    if _left() > 30:
+        from robocupvision_tpu.utils.serving import ServingPipeline
+
+        device_fn4, host_unpack4 = pi.infer_u4_packed()
+        pfn4 = jax.jit(device_fn4)
+
+        def serve_pipe_u4_once():
+            pipe = ServingPipeline(pfn4, host_postprocess=host_unpack4,
+                                   depth=4)
+            t0 = time.perf_counter()
+            n = sum(1 for _ in pipe.map([x1] * serve_iters))
+            return n / (time.perf_counter() - t0)
+
+        serve_pipe_u4_once()  # warm
+        out["fps_serving_pipelined_d4_u4_readback"] = \
+            sorted(serve_pipe_u4_once() for _ in range(3))[1]
         _emit(out)
     return out
 

@@ -288,6 +288,28 @@ def test_packed_infer_u8_packed_roundtrip():
     np.testing.assert_array_equal(got, np.asarray(pi.infer_u8(x)))
 
 
+def test_packed_infer_u4_packed_roundtrip():
+    """The half-wire 4-bit label pack (two labels per byte on device) +
+    host unpack equals infer_u8 exactly, for the flagship and the worst
+    lane-waste family (LabelProp), and the wire buffer really is half the
+    u8-packed bytes."""
+    for fam, shape in [("robo_unet", (2, 48, 64, 3)),
+                       ("label_prop", (2, 48, 64, 8))]:
+        model = zoo.make(fam)
+        params = model.init(jax.random.PRNGKey(0))
+        build = packed.build_packed_infer if fam == "robo_unet" \
+            else packed.build_packed_label_prop
+        pi = build(model, params, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.float32)
+        device_fn, host_unpack = pi.infer_u4_packed()
+        wire = device_fn(x)
+        dev8, _ = pi.infer_u8_packed()
+        assert wire.dtype == jnp.uint8
+        assert wire.size * 2 == dev8(x).size
+        np.testing.assert_array_equal(host_unpack(wire),
+                                      np.asarray(pi.infer_u8(x)))
+
+
 def test_packed_infer_data_sharded_matches_single_device():
     """Multi-chip batched serving: the packed graph jits over a data-sharded
     batch (8-device mesh) with identical label maps — the packed weights
