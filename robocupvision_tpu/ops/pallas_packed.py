@@ -124,6 +124,36 @@ def _halo_depths(stages: Sequence[ChainStage]) -> List[int]:
     return d
 
 
+# The real Mosaic compiler (tpu_compile_helper) hard-crashes — exit 1, no
+# diagnostic — when a chain's total VMEM scratch grows past ~4 MB (it also
+# has to fit the input/skip blocks, params and output strips alongside).
+# Measured on v5e (r5 probe): 3.55 MB compiles (flagship stem chain band
+# 30), 3.49 MB compiles (--UNet stem chain band 15, 8 stages), 4.24 MB
+# crashes (--UNet band 20), 4.48 MB crashes (flagship band 40). The budget
+# below keeps the automatic band chooser on the compiling side with margin.
+_MOSAIC_SCRATCH_BUDGET = int(3.7e6)
+
+
+def _scratch_bytes(stages: Sequence[ChainStage], depths: Sequence[int],
+                   band: int, W: int, dtype) -> int:
+    """Inter-stage VMEM scratch model the band chooser budgets against
+    (strip geometry of fused_conv_chain's scratch_shapes at the CHAIN
+    dtype). Deliberately does NOT discount int8 stages to 1 byte even
+    though their declared scratch is int8: the Mosaic crash tracks the
+    conv-window geometry at compute width, not the declared byte count
+    (measured r5, --UNet pool chain on v5e: int8 band 24 crashes exactly
+    like bf16 band 20+ despite half the declared bytes; int8 band <= 15
+    compiles like bf16). The conservative model also keeps quantized
+    chains on the same band their float counterpart chose."""
+    total = 0
+    for k, st in enumerate(stages[:-1]):
+        r = stages[k + 1].reach
+        strip = band + 2 * depths[k] + 2 * r
+        total += strip * (W + 2 * r) * int(st.w.shape[3]) \
+            * jnp.dtype(dtype).itemsize
+    return total
+
+
 def _chain_kernel(*refs, stages: Tuple, depths: Tuple[int, ...],
                   n_skips: int, band: int, H: int, W: int, x_pad: int,
                   skip_pad: int, skip_cpad: int, chain_dtype):
@@ -363,12 +393,28 @@ def fused_conv_chain(x: jax.Array, stages: Sequence[ChainStage],
         H, W = x.shape[1], x.shape[2]
         x_pad = depths[0] + stages[0].reach
         skip_pad = x_pad + skip_cpad
-    if band is None:
-        band = H if H <= 32 else next(
-            b for b in (24, 20, 30, 40, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1)
-            if H % b == 0)
-    assert H % band == 0, (H, band)
     dtype = x.dtype
+    fits = functools.partial(_scratch_bytes, stages, depths, W=W,
+                             dtype=dtype)
+    if band is None:
+        # fastest-first preference order from the committed on-chip band
+        # sweep (docs/BENCH_RUNS_r4.md flagship_vga_band_sweep), filtered by
+        # the Mosaic VMEM-scratch budget — deep chains (--UNet's 8-stage
+        # pool chain) auto-degrade to a smaller band instead of crashing
+        # the compiler
+        cands = ([H] if H <= 32 else []) + [
+            b for b in (24, 20, 30, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1)
+            if b < H and H % b == 0]
+        band = next((b for b in cands
+                     if fits(band=b) <= _MOSAIC_SCRATCH_BUDGET), cands[-1])
+    elif not interpret and fits(band=band) > _MOSAIC_SCRATCH_BUDGET:
+        raise ValueError(
+            f"band={band} needs ~{fits(band=band) / 1e6:.2f} MB of VMEM "
+            f"scratch for this {len(stages)}-stage chain; the real Mosaic "
+            f"compiler crashes past ~{_MOSAIC_SCRATCH_BUDGET / 1e6:.1f} MB "
+            f"(tpu_compile_helper exit 1). Use a smaller band or band=None "
+            f"for the automatic chooser.")
+    assert H % band == 0, (H, band)
     if quant:
         # the chain's input enters pre-quantized at stage 0's static scale
         # (padding zeros are exact in int8); quantize in f32 so bf16 chains
