@@ -782,7 +782,7 @@ INT8_PCT_DEFAULTS = {
     "robo_unet": 99.9,      # flagship: 0.9794 @99.9 vs 0.9746 @max (r4)
     "robo_unet_v2": 99.9,   # 0.9927 @99.9 vs 0.9925 @max (r5 sweep)
     "robo_unet_pool": None,
-    "pb_fcn": 99.9,         # 0.9766 @99.9 vs 0.9769 @max, 0.9668 @99.5 (r5)
+    "pb_fcn": 99.9,         # 0.9915 @99.9 vs 0.9855 @max, 0.9829 @99.5 (r5)
     "label_prop": None,     # 0.9987 @max = @99.9, 0.9933 @99.5 (r5)
 }
 
