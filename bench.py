@@ -135,6 +135,21 @@ def bench_vga_inference():
         out["fps_packed_bf16_b4_throughput"] = 4.0 / _time(pfn, x4, iters=200)
         _emit(out)
 
+    # 2b. b8 throughput + 8-way data-parallel estimate (VERDICT r4 #8): the
+    # MFU analysis (PERF.md) says the packed graph is fixed-cost/padded-byte
+    # bound at b1 — batch is the remaining headroom axis. The dp8 row is an
+    # EXTRAPOLATION (single-chip b8 x 8 replicas): serving replicates the
+    # weights and shards the batch with no cross-device traffic, so per-chip
+    # throughput is flat in N; MULTICHIP_r*.json proves the 8-way sharded
+    # graph itself compiles+runs on the virtual mesh.
+    if _left() > 60:
+        x8 = jax.random.normal(jax.random.PRNGKey(2), (8, 480, 640, 3),
+                               jnp.float32)
+        b8 = 8.0 / _time(pfn, x8, iters=120)
+        out["fps_packed_bf16_b8_throughput"] = b8
+        out["fps_serving_dp8_x8chips_extrapolated"] = 8.0 * b8
+        _emit(out)
+
     # 3. standard (unpacked) graph for comparison
     def make_infer(dtype):
         @jax.jit
