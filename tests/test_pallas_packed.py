@@ -635,3 +635,81 @@ def test_pallas_chain_fold_stem_matches_xla_packed_f32(no_scale, hw):
                                np.asarray(base.logits(x)),
                                rtol=2e-4, atol=2e-4)
     _assert_labels_match(fused, base, x)
+
+
+# --- scratch-aware band chooser (r5): the real Mosaic compiler hard-crashes
+# (tpu_compile_helper exit 1) past ~4 MB of chain VMEM scratch; the chooser
+# budgets a strip-geometry scratch model against 3.7 MB and degrades, and
+# explicit over-budget bands raise instead of crashing the compiler.
+
+
+def _deep_chain(c=64, n_stages=3, W=256, seed=9):
+    from robocupvision_tpu.ops.pallas_packed import ChainStage
+    rng = np.random.default_rng(seed)
+    stages = [ChainStage(
+        w=jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+        b=rng.standard_normal(c).astype(np.float32) * 0.1,
+        scale=(0.5 + rng.random(c)).astype(np.float32),
+        shift=rng.standard_normal(c).astype(np.float32) * 0.1,
+    ) for _ in range(n_stages)]
+    x = jnp.asarray(rng.standard_normal((1, 32, W, c)) * 0.5, jnp.float32)
+    return x, stages
+
+
+def test_fused_conv_chain_over_budget_band_raises():
+    """An explicit band whose scratch exceeds the Mosaic budget must raise a
+    clear ValueError at build time (real-kernel mode only) — the r4 failure
+    mode was an HTTP-500 compiler crash."""
+    from robocupvision_tpu.ops.pallas_packed import fused_conv_chain
+    x, stages = _deep_chain()
+    with pytest.raises(ValueError, match="VMEM"):
+        fused_conv_chain(x, stages, band=32, interpret=False)
+    # interpret mode has no Mosaic ceiling: the same band must run and match
+    from robocupvision_tpu.ops import nn
+    h = x
+    for st in stages:
+        y = nn.conv2d(h, st.w, padding=1) + jnp.asarray(st.b)
+        h = nn.relu(y) * jnp.asarray(st.scale) + jnp.asarray(st.shift)
+    got = fused_conv_chain(x, stages, band=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[-1]), np.asarray(h),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_auto_band_degrades_under_scratch_budget():
+    """band=None must reject candidates whose scratch model exceeds the
+    budget and still compute exactly at the degraded band."""
+    from robocupvision_tpu.ops import nn
+    from robocupvision_tpu.ops.pallas_packed import (
+        _MOSAIC_SCRATCH_BUDGET, _halo_depths, _scratch_bytes,
+        fused_conv_chain)
+    x, stages = _deep_chain()
+    depths = _halo_depths(stages)
+    W = x.shape[2]
+    # the preferred candidate (band == H == 32, single band) is over budget;
+    # a smaller divisor fits — the chooser must degrade, not crash
+    assert _scratch_bytes(stages, depths, 32, W, x.dtype) \
+        > _MOSAIC_SCRATCH_BUDGET
+    assert _scratch_bytes(stages, depths, 16, W, x.dtype) \
+        <= _MOSAIC_SCRATCH_BUDGET
+    h = x
+    for st in stages:
+        y = nn.conv2d(h, st.w, padding=1) + jnp.asarray(st.b)
+        h = nn.relu(y) * jnp.asarray(st.scale) + jnp.asarray(st.shift)
+    got = fused_conv_chain(x, stages, band=None, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[-1]), np.asarray(h),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_int8_scratch_model_prices_compute_width():
+    """int8 stages must NOT discount scratch to 1 byte: the Mosaic crash
+    tracks conv-window geometry at compute width (measured r5 — the int8
+    pool chain crashes at the same band as bf16 despite half the declared
+    bytes), so the quantized chain must budget like its float counterpart."""
+    from robocupvision_tpu.ops.pallas_packed import (
+        _halo_depths, _scratch_bytes, quantize_chain_stages)
+    x, stages = _deep_chain()
+    depths = _halo_depths(stages)
+    qst = quantize_chain_stages(stages, [4.0] * len(stages))
+    base = _scratch_bytes(stages, depths, 16, x.shape[2], x.dtype)
+    quant = _scratch_bytes(qst, depths, 16, x.shape[2], x.dtype)
+    assert quant == base
