@@ -150,6 +150,23 @@ def bench_vga_inference():
         out["fps_serving_dp8_x8chips_extrapolated"] = 8.0 * b8
         _emit(out)
 
+    # 2c. deeper batch sweep (r5): throughput keeps climbing past b8 —
+    # on-chip probe read b16 2748 / b32 3061 fps vs b1 2000 (1.53x) — so
+    # the larger batches are the per-chip serving-throughput numbers worth
+    # recording; dp8 extrapolation at the best measured batch included.
+    if _left() > 75:
+        for b, iters in ((16, 60), (32, 30)):
+            xb = jax.random.normal(jax.random.PRNGKey(2),
+                                   (b, 480, 640, 3), jnp.float32)
+            out[f"fps_packed_bf16_b{b}_throughput"] = \
+                float(b) / _time(pfn, xb, iters=iters)
+            _emit(out)
+        best = max(v for k, v in out.items()
+                   if k.startswith("fps_packed_bf16_b")
+                   and k.endswith("_throughput"))
+        out["fps_serving_dp8_x8chips_extrapolated_best_batch"] = 8.0 * best
+        _emit(out)
+
     # 3. standard (unpacked) graph for comparison
     def make_infer(dtype):
         @jax.jit
@@ -585,7 +602,7 @@ def bench_scan_epoch(n: int = 2048, batch: int = 64, epochs: int = 3):
     return out
 
 
-def bench_streamed_epoch(n: int = 256, batch: int = 64, epochs: int = 2):
+def bench_streamed_epoch(n: int = 128, batch: int = 64, epochs: int = 2):
     """Streamed training (prefetching host pipeline, data/streaming.py) vs
     the same per-step path fed from the HBM cache — the big-dataset story.
 
@@ -618,6 +635,25 @@ def bench_streamed_epoch(n: int = 256, batch: int = 64, epochs: int = 2):
         return (x.astype(jnp.float32) - 127.5) / 127.5, t.astype(jnp.int32)
 
     ds = HostDataset()
+    out = {}
+
+    # transfer roofline FIRST (pure device_put, no compile): the r5 clean
+    # run's streamed child was budget-killed before its first emit — land
+    # the cheap number before the compile-heavy training timing so a kill
+    # still leaves evidence behind.
+    sample = np.stack([raw[i] for i in range(batch)])
+    lab_b = labs8[:batch]
+    jax.device_put(sample).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        a = jax.device_put(sample)
+        b = jax.device_put(lab_b)
+        jax.block_until_ready((a, b))
+    out["transfer_roofline_imgs_per_sec"] = \
+        batch * reps / (time.perf_counter() - t0)
+    _emit(out)
+
     cfg = tstep.StepCfg(num_classes=5, class_weights=(1, 10, 30, 10, 2),
                         l1_decay=1e-6, out_size=1.0 / (120 * 160),
                         compute_dtype="bfloat16")
@@ -631,22 +667,8 @@ def bench_streamed_epoch(n: int = 256, batch: int = 64, epochs: int = 2):
     t0 = time.perf_counter()
     for _ in range(epochs):
         tr.train_epoch_streamed(1e-3, ds, device_transform=normalize)
-    out = {"streamed_train_imgs_per_sec_bf16":
-           n * epochs / (time.perf_counter() - t0)}
-    _emit(out)
-
-    # transfer roofline: time pure host->device puts of the same bytes
-    sample = np.stack([raw[i] for i in range(batch)])
-    lab_b = labs8[:batch]
-    jax.device_put(sample).block_until_ready()
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        a = jax.device_put(sample)
-        b = jax.device_put(lab_b)
-        jax.block_until_ready((a, b))
-    out["transfer_roofline_imgs_per_sec"] = \
-        batch * reps / (time.perf_counter() - t0)
+    out["streamed_train_imgs_per_sec_bf16"] = \
+        n * epochs / (time.perf_counter() - t0)
     _emit(out)
 
     if _left() > 60:
